@@ -1,0 +1,5 @@
+from .fast_pq import FastPQ, TransformedData, _FastDistanceTable
+from .flat import Flat
+from .ivf import IVF
+
+__all__ = ["FastPQ", "TransformedData", "_FastDistanceTable", "Flat", "IVF"]

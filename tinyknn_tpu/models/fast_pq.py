@@ -1,0 +1,282 @@
+"""FastPQ: 4-bit product quantizer, batched and TPU-native.
+
+Same capability as the reference FastPQ (reference: tinyknn/fast_pq.py):
+fit 16-center codebooks per block of ``dims_per_block`` dims, encode data
+to 4-bit codes, build per-query int8 distance tables, estimate distances
+with a table-sum scan, and run the two-pass (estimate -> exact rescore)
+top-k. Differences are all TPU-first by design:
+
+  * codes live as plain ``uint8[n_pad, n_blocks]`` tiles (optionally
+    nibble-packed for HBM) — not the Quick-ADC pshufb layout;
+  * the scan is an int8 one-hot matmul on the MXU accumulated in int32
+    (no saturating-int8 semantics; see ops/scan.py);
+  * every entry point is batched over queries and jit-compiled — the
+    reference's per-query Python loops become a leading batch axis;
+  * codebook training is one vmapped k-means++/Lloyd computation instead
+    of a Python loop of sklearn fits.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.kmeans import blockwise_kmeans
+from ..ops.quantization import (
+    QuantizedTables,
+    block_dists_blocked,
+    dequantize_estimates,
+    quantize_tables_signed,
+    quantize_tables_unsigned,
+)
+from ..ops.scan import estimate_scan
+from ..utils.padding import pad1, pad2, round_up
+
+ROW_PAD = 8       # row alignment of the code matrix (f32/int sublane tile)
+BLOCK_PAD = 8     # block-count alignment => one-hot width is a lane multiple
+
+
+class TransformedData(NamedTuple):
+    """Encoded dataset: true row count + padded code matrix.
+
+    Mirrors the reference's ``TransformedData(size, packed)``
+    (tinyknn/fast_pq.py:30); ``codes`` is uint8[n_pad, n_blocks] with
+    values 0..15, zero-padded rows beyond ``size``.
+    """
+    size: int
+    codes: jax.Array
+
+
+class FastPQ:
+    """4-bit product quantizer (reference: tinyknn/fast_pq.py:33-252)."""
+
+    def __init__(self, dims_per_block=2, use_kmeans=True, rotate_dim=64,
+                 seed=0, backend="auto", kmeans_iters=25, kmeans_n_init=2):
+        self.dims_per_block = dims_per_block
+        self.use_kmeans = use_kmeans
+        self.rotate_dim = rotate_dim
+        self.seed = seed
+        self.backend = backend
+        self.kmeans_iters = kmeans_iters
+        self.kmeans_n_init = kmeans_n_init
+        self.centers = None        # (16, d) f32, reference layout
+        self.center_blocks = None  # (B, 16, dpb) f32
+        self.sqrt_n_blocks = None
+        self.R = None              # optional (d_out, d_in) rotation
+
+    # ------------------------------------------------------------- fit
+
+    def fit(self, data, verbose=False):
+        """Fit per-block codebooks (reference: tinyknn/fast_pq.py:50-104).
+
+        Pads rows/cols, optionally applies a random orthogonal
+        rotation/projection to ``rotate_dim`` dims (skipped when the raw
+        dimensionality is exactly 100, matching the reference's GloVe
+        special case at fast_pq.py:77), then fits 16 centers per block —
+        all blocks at once via a vmapped k-means++/Lloyd.
+        """
+        data = np.asarray(data, dtype=np.float32)
+        assert data.size > 0, "Can't fit no data"
+        true_n, true_d = data.shape
+        dpb = self.dims_per_block
+
+        data = pad2(data, ROW_PAD, BLOCK_PAD * dpb)
+        n, d = data.shape
+
+        if self.rotate_dim is not None and true_d != 100:
+            rng = np.random.default_rng(self.seed)
+            q, _ = np.linalg.qr(rng.standard_normal((d, d)))
+            R = np.ascontiguousarray(q.T, dtype=np.float32)
+            if d > self.rotate_dim:
+                d = round_up(self.rotate_dim, BLOCK_PAD * dpb)
+                R = R[:d]
+            self.R = jnp.asarray(R)
+            data = data @ np.asarray(R).T
+
+        B = d // dpb
+        cols = jnp.asarray(
+            np.ascontiguousarray(
+                data.reshape(n, B, dpb).transpose(1, 0, 2)))
+        if self.use_kmeans:
+            centers = blockwise_kmeans(
+                jax.random.PRNGKey(self.seed), cols, k=16,
+                iters=self.kmeans_iters, n_init=self.kmeans_n_init)
+        else:
+            centers = _fixed_gaussian_code(np.asarray(cols), dpb)
+        self.center_blocks = jnp.asarray(centers, jnp.float32)  # (B, 16, dpb)
+        self.centers = jnp.asarray(
+            np.asarray(self.center_blocks).transpose(1, 0, 2).reshape(16, d))
+        self.sqrt_n_blocks = float(np.sqrt(B))
+        return self
+
+    def fit_transform(self, data, verbose=False):
+        return self.fit(data, verbose).transform(data, verbose)
+
+    # ------------------------------------------------------------ encode
+
+    def transform(self, data, verbose=False) -> TransformedData:
+        """Encode rows to 4-bit codes (reference: tinyknn/fast_pq.py:147-184)."""
+        assert self.centers is not None, "PQ has not been fitted"
+        data = np.asarray(data, dtype=np.float32)
+        if data.size == 0:
+            return data
+        true_n = data.shape[0]
+        data = pad2(data, ROW_PAD, BLOCK_PAD * self.dims_per_block)
+        codes = _encode(jnp.asarray(data), self.center_blocks, self.R,
+                        self.dims_per_block)
+        return TransformedData(true_n, codes)
+
+    # ----------------------------------------------------- distance tables
+
+    def distance_table(self, q):
+        """Signed int8 distance table(s) for query/queries ``q``.
+
+        Accepts (d,) or (Q, d); batched everywhere downstream.
+        Reference: tinyknn/fast_pq.py:186-222.
+        """
+        return self._table(q, signed=True)
+
+    def udistance_table(self, q):
+        """Unsigned-scheme tables (reference: tinyknn/fast_pq.py:224-252)."""
+        return self._table(q, signed=False)
+
+    def _table(self, q, signed: bool):
+        q = np.asarray(q, dtype=np.float32)
+        single = q.ndim == 1
+        if single:
+            q = q[None]
+        raw_q = jnp.asarray(q)
+        qt = _build_tables(raw_q, self.center_blocks, self.R,
+                           self.dims_per_block, signed)
+        return _FastDistanceTable(self, qt, raw_q, single)
+
+
+def _fixed_gaussian_code(cols, dpb):
+    """Data-independent ring code for dpb=2 (reference: fast_pq.py:127-144).
+
+    A fixed 16-point code (center + two rings) affinely matched to each
+    block's mean/covariance via a Cholesky factor.
+    """
+    assert dpb == 2, "Fixed code only defined for dpb = 2"
+    base = np.array(
+        [(0.0, 0.0)]
+        + [(r * np.cos(th), r * np.sin(th))
+           for r, num in zip([1, 2], [6, 9])
+           for th in np.linspace(0, 2 * np.pi, num, endpoint=False)],
+        dtype=np.float64)
+    out = []
+    for col in cols:  # (n, 2)
+        mu = np.mean(col, axis=0)
+        S = np.cov(col.T, bias=True)
+        S = np.atleast_2d(S) + 1e-9 * np.eye(2)
+        out.append(base @ np.linalg.cholesky(S).T + mu)
+    return np.stack(out).astype(np.float32)  # (B, 16, 2)
+
+
+@partial(jax.jit, static_argnames=("dpb", "chunk"))
+def _encode(data, center_blocks, R, dpb: int, chunk: int = 65536):
+    if R is not None:
+        data = data @ R.T
+    n, d = data.shape
+    B = d // dpb
+    cn = jnp.einsum("bkd,bkd->bk", center_blocks, center_blocks)
+
+    def assign(rows):  # (m, d) -> (m, B) uint8
+        cols = rows.reshape(rows.shape[0], B, dpb)
+        # argmin over 16 centers per block: -2<x,c> + ||c||^2 suffices
+        d2 = (jnp.einsum("nbd,bkd->nbk", cols, center_blocks) * -2.0
+              + cn[None])
+        return jnp.argmin(d2, axis=2).astype(jnp.uint8)
+
+    if n <= chunk:
+        return assign(data)
+    n_pad = n + (-n) % chunk
+    padded = jnp.pad(data, ((0, n_pad - n), (0, 0)))
+    out = jax.lax.map(assign, padded.reshape(-1, chunk, d))
+    return out.reshape(n_pad, B)[:n]
+
+
+@partial(jax.jit, static_argnames=("dpb", "signed"))
+def _build_tables(q, center_blocks, R, dpb: int, signed: bool):
+    Q, true_d = q.shape
+    B = center_blocks.shape[0]
+    d_in = B * dpb if R is None else R.shape[1]
+    q = jnp.pad(q, ((0, 0), (0, d_in - true_d)))
+    if R is not None:
+        q = q @ R.T
+    q_blocks = q.reshape(Q, B, dpb)
+    dists = block_dists_blocked(q_blocks, center_blocks)
+    if signed:
+        return quantize_tables_signed(dists)
+    return quantize_tables_unsigned(dists)
+
+
+class _FastDistanceTable:
+    """Batched distance table (reference: tinyknn/fast_pq.py:255-312)."""
+
+    def __init__(self, pq: FastPQ, qt: QuantizedTables, raw_q, single: bool):
+        self.pq = pq
+        self.qt = qt
+        self.raw_q = raw_q
+        self.single = single
+
+    @property
+    def tables(self):
+        return self.qt.tables
+
+    def __repr__(self):
+        return (f"FastDistanceTable(Q={self.qt.tables.shape[0]}, "
+                f"n_blocks={self.qt.n_blocks}, signed={self.qt.signed})")
+
+    def estimate_distances(self, transformed_data, out=None, rescale=False):
+        """int32 estimated table-sums (or f32 sq-dists when rescale).
+
+        Reference: tinyknn/fast_pq.py:270-282; int32 accumulation
+        replaces the saturated int8 output.
+        """
+        del out  # API parity only
+        true_n, codes = transformed_data
+        est = estimate_scan(codes, self.qt.tables, self.pq.backend)
+        est = est[:, :true_n]
+        if rescale:
+            est = dequantize_estimates(est, self.qt)
+        return est[0] if self.single else est
+
+    def top(self, transformed_data, data, k=1, rescore=None):
+        """Two-pass top-k: estimate -> exact fp32 rescore.
+
+        Reference: tinyknn/fast_pq.py:284-312. Returns (Q, k) indices,
+        or (k,) for a single query.
+        """
+        true_n, codes = transformed_data
+        data = jnp.asarray(data, jnp.float32)
+        assert data.shape[0] == true_n
+        k = min(k, true_n)
+        if not rescore:
+            rescore = min(2 * k + 10, true_n)
+        assert true_n >= rescore >= k
+        idx = _two_pass_top(codes, self.qt.tables, self.raw_q, data,
+                            true_n, k, rescore, self.pq.backend)
+        return idx[0] if self.single else idx
+
+
+@partial(jax.jit, static_argnames=("true_n", "k", "rescore", "backend"))
+def _two_pass_top(codes, tables, raw_q, data, true_n: int, k: int,
+                  rescore: int, backend: str):
+    est = estimate_scan(codes, tables, backend)  # (Q, n_pad) int32
+    n_pad = codes.shape[0]
+    if n_pad > true_n:
+        mask = jnp.arange(n_pad) < true_n
+        est = jnp.where(mask[None, :], est, jnp.iinfo(jnp.int32).max)
+    _, cand = jax.lax.top_k(-est, rescore)          # (Q, rescore)
+    if rescore <= k:
+        return cand
+    gathered = data[cand]                            # (Q, rescore, d)
+    diff = gathered - raw_q[:, None, :]
+    d2 = jnp.einsum("qrd,qrd->qr", diff, diff)
+    _, best = jax.lax.top_k(-d2, k)
+    return jnp.take_along_axis(cand, best, axis=1)

@@ -1,0 +1,177 @@
+"""Jitted KMeans: k-means++ init + chunked Lloyd iterations.
+
+Replaces the reference's two sklearn.KMeans call sites:
+  * per-block 16-center PQ codebook fits (reference: tinyknn/fast_pq.py:109-145)
+    — here a single ``vmap`` over all blocks at once instead of a Python
+    loop of d/dpb sklearn fits;
+  * the IVF coarse clustering (reference: tinyknn/ivf.py:31-45).
+
+TPU-first structure: the assignment step is an (n, d) x (d, k) matmul on
+the MXU; the centroid update is a one-hot matmul (counts & sums) instead
+of a scatter; both run inside a ``lax.scan`` over fixed-size row chunks
+so memory stays bounded at any n. Shapes are static; masked padding rows
+carry zero weight.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ..utils.padding import round_up
+
+
+def _pairwise_sq(X, C):
+    """(n, d), (k, d) -> (n, k) squared distances, MXU matmul form."""
+    xn = jnp.einsum("ij,ij->i", X, X)
+    cn = jnp.einsum("ij,ij->i", C, C)
+    inner = jax.lax.dot_general(
+        X, C, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+    return xn[:, None] + cn[None, :] - 2.0 * inner
+
+
+def _plus_plus_init(key, X, w, k: int):
+    """k-means++ seeding. X: (n, d) f32, w: (n,) weights (0 for padding)."""
+    n = X.shape[0]
+    k0, key = jax.random.split(key)
+    logits0 = jnp.where(w > 0, 0.0, -jnp.inf)
+    first = jax.random.categorical(k0, logits0)
+    min_d2 = jnp.sum((X - X[first]) ** 2, axis=1)
+
+    def step(carry, key_i):
+        min_d2, _ = carry
+        scores = min_d2 * w
+        logits = jnp.log(jnp.maximum(scores, 1e-30))
+        # If every point has zero score (k > #distinct points), fall back
+        # to uniform over valid rows.
+        degenerate = jnp.max(scores) <= 0
+        logits = jnp.where(degenerate, logits0, logits)
+        idx = jax.random.categorical(key_i, logits)
+        c = X[idx]
+        min_d2 = jnp.minimum(min_d2, jnp.sum((X - c) ** 2, axis=1))
+        return (min_d2, idx), c
+
+    keys = jax.random.split(key, k - 1)
+    (_, _), rest = jax.lax.scan(step, (min_d2, first), keys)
+    return jnp.concatenate([X[first][None], rest], axis=0)
+
+
+def _lloyd_iter(X, w, C, chunk: int):
+    """One Lloyd iteration with chunked assignment+accumulation."""
+    n, d = X.shape
+    k = C.shape[0]
+    n_chunks = n // chunk
+    Xc = X.reshape(n_chunks, chunk, d)
+    wc = w.reshape(n_chunks, chunk)
+
+    def body(carry, xs):
+        sums, counts, inertia = carry
+        Xi, wi = xs
+        d2 = _pairwise_sq(Xi, C)
+        assign = jnp.argmin(d2, axis=1)
+        best = jnp.min(d2, axis=1)
+        onehot = jax.nn.one_hot(assign, k, dtype=jnp.float32) * wi[:, None]
+        sums = sums + jax.lax.dot_general(
+            onehot, Xi, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        counts = counts + jnp.sum(onehot, axis=0)
+        inertia = inertia + jnp.sum(jnp.maximum(best, 0.0) * wi)
+        return (sums, counts, inertia), None
+
+    init = (jnp.zeros((k, d), jnp.float32), jnp.zeros((k,), jnp.float32),
+            jnp.float32(0.0))
+    (sums, counts, inertia), _ = jax.lax.scan(body, init, (Xc, wc))
+    new_C = jnp.where(counts[:, None] > 0, sums / jnp.maximum(counts[:, None], 1.0), C)
+    return new_C, counts, inertia
+
+
+@partial(jax.jit, static_argnames=("k", "iters", "chunk"))
+def _kmeans_single(key, X, w, k: int, iters: int, chunk: int):
+    C0 = _plus_plus_init(key, X, w, k)
+
+    def body(C, _):
+        C, _, inertia = _lloyd_iter(X, w, C, chunk)
+        return C, inertia
+
+    C, inertias = jax.lax.scan(body, C0, None, length=iters)
+    return C, inertias[-1]
+
+
+def kmeans_fit(X, k: int, *, key=None, iters: int = 25, n_init: int = 1,
+               chunk: int = 16384):
+    """Fit k centers to rows of X. Returns (centers (k, d) f32, inertia).
+
+    ``n_init`` independent runs keep the best inertia, mirroring
+    sklearn's n_init (reference uses n_init=2 for PQ blocks,
+    tinyknn/fast_pq.py:117, and n_init=1 for the coarse index,
+    tinyknn/ivf.py:32).
+    """
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    X = jnp.asarray(X, jnp.float32)
+    n, d = X.shape
+    assert n >= 1
+    chunk = min(chunk, round_up(n, 8))
+    n_pad = round_up(n, chunk)
+    w = jnp.ones((n,), jnp.float32)
+    if n_pad != n:
+        X = jnp.pad(X, ((0, n_pad - n), (0, 0)))
+        w = jnp.pad(w, (0, n_pad - n))
+
+    best_C, best_inertia = None, None
+    for i in range(n_init):
+        C, inertia = _kmeans_single(jax.random.fold_in(key, i), X, w, k,
+                                    iters, chunk)
+        if best_inertia is None or float(inertia) < float(best_inertia):
+            best_C, best_inertia = C, inertia
+    return best_C, best_inertia
+
+
+@partial(jax.jit, static_argnames=("k", "iters", "chunk", "n_init"))
+def blockwise_kmeans(key, cols, k: int = 16, iters: int = 25,
+                     chunk: int = 65536, n_init: int = 2):
+    """Fit k centers independently for each block column.
+
+    ``cols``: (B, n, dpb) f32 — the d/dpb block columns. Returns
+    (B, k, dpb) centers. This is the reference's per-block sklearn loop
+    (tinyknn/fast_pq.py:117-125) as one vmapped computation; rows are
+    assumed pre-padded with zero-weight handled by the caller via ``w``.
+    """
+    B, n, dpb = cols.shape
+    assert n % chunk == 0 or n < chunk
+    c = min(chunk, n)
+    # Round n down? n must be divisible by chunk for the scan reshape;
+    # callers pad n to a multiple of 8 and we pick chunk accordingly.
+    while n % c != 0:
+        c //= 2
+    w = jnp.ones((n,), jnp.float32)
+
+    def fit_one(key_b, col):
+        best_C, best_inertia = None, None
+        for i in range(n_init):
+            C, inertia = _kmeans_single_inline(
+                jax.random.fold_in(key_b, i), col, w, k, iters, c)
+            if best_C is None:
+                best_C, best_inertia = C, inertia
+            else:
+                take = inertia < best_inertia
+                best_C = jnp.where(take, C, best_C)
+                best_inertia = jnp.minimum(inertia, best_inertia)
+        return best_C
+
+    keys = jax.random.split(key, B)
+    return jax.vmap(fit_one)(keys, cols)
+
+
+def _kmeans_single_inline(key, X, w, k, iters, chunk):
+    """Non-jitted inner version for use under vmap."""
+    C0 = _plus_plus_init(key, X, w, k)
+
+    def body(C, _):
+        C, _, inertia = _lloyd_iter(X, w, C, chunk)
+        return C, inertia
+
+    C, inertias = jax.lax.scan(body, C0, None, length=iters)
+    return C, inertias[-1]
