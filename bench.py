@@ -1,0 +1,141 @@
+#!/usr/bin/env python3
+"""Driver benchmark: one JSON line on stdout, details on stderr.
+
+Headline metric (comparable to the reference's published number): the
+FastPQ full-scan workload of the reference's examples/example.py —
+random n=16,000 d=128, 1,000 queries, dims_per_block=2, signed tables —
+where the reference reports 7,101.26 QPS for distance-table build +
+estimate scan on CPU (reference README.md:79, BASELINE.md). Quality
+gates mirror the reference's published median/90% true-NN rank (1.0 /
+19.0): we fail the run (vs_baseline = 0) if quality is off, so speed
+can't be bought with broken math.
+
+Timing method: the whole sweep (R batches of 1,000 queries) runs inside
+ONE jitted computation (lax.map over batches) and is wall-clocked
+end-to-end including the final host sync; per-call dispatch through the
+remote TPU relay costs ~25ms, which would otherwise swamp the
+measurement. This mirrors how a serving deployment would batch.
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    import tinyknn_tpu as tk
+    from tinyknn_tpu.models.fast_pq import _build_tables, pass1_topk
+    from tinyknn_tpu.ops.scan import estimate_scan
+
+    log(f"backend: {jax.default_backend()}, devices: {jax.devices()}")
+
+    # ---- workload: reference examples/example.py config
+    n, d, nq, dpb = 16000, 128, 1000, 2
+    reps = 20
+    np.random.seed(10)
+    X = np.random.randn(n, d).astype(np.float32)
+    qs = np.random.randn(nq, d).astype(np.float32)
+
+    log("computing ground truth...")
+    trus = np.asarray(tk.knn_brute(qs, X, k=1))[:, 0]
+
+    log("fitting FastPQ...")
+    t0 = time.time()
+    # rotate_dim=None: matches the reference's *published* numbers
+    # (its current default projects 128->64 dims, which destroys
+    # ranking on iid data and contradicts README.md:77-79).
+    pq = tk.FastPQ(dims_per_block=dpb, rotate_dim=None)
+    data = pq.fit_transform(X)
+    jax.block_until_ready(data.codes)
+    fit_time = time.time() - t0
+    log(f"fit+transform: {fit_time:.1f}s (includes jit compile)")
+
+    codes = data.codes
+    cb = pq.center_blocks
+    backend = pq.backend
+
+    # ---- the timed computation: tables + estimate, R batches in one jit
+    @jax.jit
+    def sweep(qbatches):
+        def body(q):
+            qt = _build_tables(q, cb, None, dpb, True)
+            est = estimate_scan(codes, qt.tables, backend)
+            # tiny checksum keeps every batch live without materializing
+            # (R, nq, n) on the host
+            return est[0, 0] + est[nq - 1, n - 1]
+        return jax.lax.map(body, qbatches)
+
+    qs_j = jnp.asarray(qs)
+    jitter = jnp.arange(reps, dtype=jnp.float32)[:, None, None] * 1e-6
+    qb = jnp.broadcast_to(qs_j, (reps, nq, d)) + jitter
+
+    log("warmup/compile...")
+    np.asarray(sweep(qb))
+    t0 = time.time()
+    np.asarray(sweep(qb))
+    elapsed = time.time() - t0
+    qps = reps * nq / elapsed
+    log(f"full-scan tables+estimate: {elapsed/reps*1000:.2f}ms per {nq} "
+        f"queries -> {qps:.0f} QPS")
+
+    # ---- quality gate: true-NN rank distribution of the estimates
+    dt = pq.distance_table(qs)
+    est = np.asarray(dt.estimate_distances(data))
+    order = np.argsort(est, axis=1)
+    places = np.array([int(np.where(order[i] == trus[i])[0][0])
+                       for i in range(nq)])
+    med, q90 = float(np.median(places)), float(np.quantile(places, 0.9))
+    log(f"true-NN rank: median={med}, 90%={q90} "
+        f"(reference: 1.0 / 19.0)")
+
+    # ---- end-to-end two-pass search QPS (not the headline, for the record)
+    Xj = jnp.asarray(X)
+
+    @jax.jit
+    def sweep_top(qbatches):
+        def body(q):
+            qt = _build_tables(q, cb, None, dpb, True)
+            est = estimate_scan(codes, qt.tables, backend)
+            _, cand = pass1_topk(-est.astype(jnp.float32), 30, "approx")
+            g = Xj[cand]
+            diff = g - q[:, None, :]
+            d2 = jnp.einsum("qrd,qrd->qr", diff, diff)
+            _, best = jax.lax.top_k(-d2, 10)
+            out = jnp.take_along_axis(cand, best, axis=1)
+            return out[0, 0] + out[nq - 1, 9]
+        return jax.lax.map(body, qbatches)
+
+    np.asarray(sweep_top(qb))
+    t0 = time.time()
+    np.asarray(sweep_top(qb))
+    el2 = time.time() - t0
+    log(f"fused two-pass top-10 search: {el2/reps*1000:.2f}ms per {nq} "
+        f"-> {reps*nq/el2:.0f} QPS")
+    top = np.asarray(pq.search(qs, data, X, k=10, method="approx"))
+    recall = float(np.mean([t in row for t, row in zip(trus, top)]))
+    log(f"search recall1@10: {recall:.3f}")
+
+    # ---- verdict
+    baseline = 7101.26
+    quality_ok = med <= 3.0 and q90 <= 60.0 and recall >= 0.85
+    if not quality_ok:
+        log("QUALITY GATE FAILED — reporting vs_baseline=0")
+    result = {
+        "metric": "fastpq_fullscan_qps_n16000_d128_dpb2",
+        "value": round(qps, 1),
+        "unit": "queries/s",
+        "vs_baseline": round(qps / baseline, 2) if quality_ok else 0.0,
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,83 @@
+"""Multi-device sharded IVF tests on the 8-virtual-device CPU mesh.
+
+This is the distributed test family the reference lacks (SURVEY.md §4):
+the sharded query must agree with the single-device index, and the
+data-parallel Lloyd step must match the serial one.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tinyknn_tpu import FastPQ, IVF, knn_brute
+from tinyknn_tpu.parallel import ShardedIVF, lloyd_step_dp, make_mesh
+
+np.random.seed(10)
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    assert len(jax.devices()) >= 8, "conftest should provide 8 CPU devices"
+    return make_mesh(8)
+
+
+def test_sharded_matches_single(mesh):
+    n, d, nq = 600, 12, 16
+    X = np.random.randn(n, d).astype(np.float32)
+    qs = np.random.randn(nq, d).astype(np.float32)
+
+    kw = dict(seed=3)
+    single = IVF("euclidean", 24, FastPQ(2, seed=7), **kw)
+    single.fit(X).build(X, n_probes=2)
+    sharded = ShardedIVF("euclidean", 24, FastPQ(2, seed=7), mesh=mesh, **kw)
+    sharded.fit(X).build(X, n_probes=2)
+
+    a = np.asarray(single.query(qs, k=8, n_probes=4))
+    b = np.asarray(sharded.query(qs, k=8, n_probes=4))
+    # Same fitted state (same seeds). The sharded path rescores pass_1
+    # candidates PER SHARD (a superset of the single-device global
+    # pass_1 cut), so its result can only be equal or better. Contract:
+    # high overlap, and the sharded worst-of-k exact distance must not
+    # exceed the single-device one.
+    overlaps = []
+    for i in range(nq):
+        overlaps.append(len(set(a[i].tolist()) & set(b[i].tolist())) / 8)
+        da = ((X[a[i]] - qs[i]) ** 2).sum(-1).max()
+        db = ((X[b[i]] - qs[i]) ** 2).sum(-1).max()
+        assert db <= da + 1e-4, (i, da, db)
+    assert np.mean(overlaps) >= 0.9, overlaps
+
+
+def test_sharded_recall_matches_single(mesh):
+    n, d, nq, at = 500, 16, 20, 10
+    X = np.random.randn(n, d).astype(np.float32)
+    qs = np.random.randn(nq, d).astype(np.float32)
+    trus = np.asarray(knn_brute(qs, X, k=at))
+
+    def recall_of(cls, **kw):
+        ivf = cls("angular", 22, FastPQ(2), **kw)
+        ivf.fit(X).build(X, n_probes=4)
+        g = np.asarray(ivf.query(qs, k=at, n_probes=10))
+        return np.mean([len(set(a.tolist()) & set(t.tolist())) / at
+                        for a, t in zip(g, trus)])
+
+    r_single = recall_of(IVF)
+    r_sharded = recall_of(ShardedIVF, mesh=mesh)
+    # sharding must not cost recall (it can only widen the rescore pool)
+    assert r_sharded >= r_single - 1e-9, (r_single, r_sharded)
+    assert r_single > 0.5  # sanity floor for this config
+
+
+def test_lloyd_step_dp_matches_serial(mesh):
+    n, d, k = 512, 8, 10
+    X = np.random.randn(n, d).astype(np.float32)
+    C = X[:k].copy()
+    newC, inertia = lloyd_step_dp(jnp.asarray(X), jnp.asarray(C), mesh)
+    # serial oracle
+    d2 = ((X[:, None] - C[None]) ** 2).sum(-1)
+    assign = d2.argmin(1)
+    expC = np.stack([X[assign == j].mean(0) if (assign == j).any() else C[j]
+                     for j in range(k)])
+    np.testing.assert_allclose(np.asarray(newC), expC, rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(float(inertia), d2.min(1).sum(), rtol=1e-4)

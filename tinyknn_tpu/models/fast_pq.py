@@ -154,6 +154,33 @@ class FastPQ:
                            self.dims_per_block, signed)
         return _FastDistanceTable(self, qt, raw_q, single)
 
+    # ------------------------------------------------------------ search
+
+    def search(self, q, transformed_data, data, k=1, rescore=None,
+               method="auto", signed=True):
+        """Fully fused batched search: tables + estimate + two-pass top-k
+        in a single jitted computation (one device dispatch).
+
+        Equivalent to ``distance_table(q).top(...)`` but without the
+        host round-trip between the two stages; this is the serving
+        path. Returns (Q, k) indices, or (k,) for a single query.
+        """
+        qn = np.asarray(q, dtype=np.float32)
+        single = qn.ndim == 1
+        if single:
+            qn = qn[None]
+        true_n, codes = transformed_data
+        data = jnp.asarray(data, jnp.float32)
+        k = min(k, true_n)
+        if not rescore:
+            rescore = min(2 * k + 10, true_n)
+        assert true_n >= rescore >= k
+        idx = _fused_search(jnp.asarray(qn), codes, data,
+                            self.center_blocks, self.R,
+                            self.dims_per_block, signed, true_n, k,
+                            rescore, self.backend, _resolve_method(method))
+        return idx[0] if single else idx
+
 
 def _fixed_gaussian_code(cols, dpb):
     """Data-independent ring code for dpb=2 (reference: fast_pq.py:127-144).
@@ -246,11 +273,14 @@ class _FastDistanceTable:
             est = dequantize_estimates(est, self.qt)
         return est[0] if self.single else est
 
-    def top(self, transformed_data, data, k=1, rescore=None):
+    def top(self, transformed_data, data, k=1, rescore=None, method="auto"):
         """Two-pass top-k: estimate -> exact fp32 rescore.
 
         Reference: tinyknn/fast_pq.py:284-312. Returns (Q, k) indices,
-        or (k,) for a single query.
+        or (k,) for a single query. ``method`` selects the pass-1
+        candidate collector: 'exact' (lax.top_k) or 'approx'
+        (lax.approx_max_k, the TPU-native top-k — ~5x faster on large
+        scans); 'auto' picks approx on TPU.
         """
         true_n, codes = transformed_data
         data = jnp.asarray(data, jnp.float32)
@@ -260,19 +290,45 @@ class _FastDistanceTable:
             rescore = min(2 * k + 10, true_n)
         assert true_n >= rescore >= k
         idx = _two_pass_top(codes, self.qt.tables, self.raw_q, data,
-                            true_n, k, rescore, self.pq.backend)
+                            true_n, k, rescore, self.pq.backend,
+                            _resolve_method(method))
         return idx[0] if self.single else idx
 
 
-@partial(jax.jit, static_argnames=("true_n", "k", "rescore", "backend"))
+def _resolve_method(method: str) -> str:
+    if method == "auto":
+        return "approx" if jax.default_backend() == "tpu" else "exact"
+    assert method in ("exact", "approx")
+    return method
+
+
+def pass1_topk(neg_vals, k: int, method: str):
+    """Pass-1 candidate collection: exact or TPU-approximate top-k."""
+    if method == "approx":
+        return jax.lax.approx_max_k(neg_vals.astype(jnp.float32), k)
+    return jax.lax.top_k(neg_vals, k)
+
+
+@partial(jax.jit, static_argnames=("dpb", "signed", "true_n", "k",
+                                   "rescore", "backend", "method"))
+def _fused_search(q, codes, data, center_blocks, R, dpb: int, signed: bool,
+                  true_n: int, k: int, rescore: int, backend: str,
+                  method: str):
+    qt = _build_tables(q, center_blocks, R, dpb, signed)
+    return _two_pass_top(codes, qt.tables, q, data, true_n, k, rescore,
+                         backend, method)
+
+
+@partial(jax.jit, static_argnames=("true_n", "k", "rescore", "backend",
+                                   "method"))
 def _two_pass_top(codes, tables, raw_q, data, true_n: int, k: int,
-                  rescore: int, backend: str):
+                  rescore: int, backend: str, method: str):
     est = estimate_scan(codes, tables, backend)  # (Q, n_pad) int32
     n_pad = codes.shape[0]
     if n_pad > true_n:
         mask = jnp.arange(n_pad) < true_n
         est = jnp.where(mask[None, :], est, jnp.iinfo(jnp.int32).max)
-    _, cand = jax.lax.top_k(-est, rescore)          # (Q, rescore)
+    _, cand = pass1_topk(-est, rescore, method)      # (Q, rescore)
     if rescore <= k:
         return cand
     gathered = data[cand]                            # (Q, rescore, d)

@@ -39,7 +39,7 @@ from ..utils.padding import round_up
 from ..utils.timing import timer
 from ..ops.kmeans import kmeans_fit
 from ..ops.topk import dedup_candidates
-from .fast_pq import FastPQ
+from .fast_pq import FastPQ, _build_tables
 
 CLUSTER_CHUNK = 8  # clusters scanned per lax.map step in the XLA path
 
@@ -151,20 +151,19 @@ class IVF:
         qc = self.queries_per_cluster or max(
             8, round_up(4 * q.shape[0] * n_probes // max(n_active, 1) + 1, 8))
 
-        dtable = self.pq._table(q, signed=True)
         out = _ivf_query(
-            jnp.asarray(q), dtable.qt.tables, self.active_centers,
-            self.list_codes, self.list_ids, self.data,
-            metric=self.metric, k=k, n_probes=n_probes,
-            pass_1=pass_1, r=r, qc=qc)
+            jnp.asarray(q), self.pq.center_blocks, self.pq.R,
+            self.active_centers, self.list_codes, self.list_ids, self.data,
+            dpb=self.pq.dims_per_block, metric=self.metric, k=k,
+            n_probes=n_probes, pass_1=pass_1, r=r, qc=qc)
         return out[0] if single else out
 
 
-@partial(jax.jit, static_argnames=("metric", "k", "n_probes", "pass_1",
-                                   "r", "qc"))
-def _ivf_query(q, tables, active_centers, list_codes, list_ids, data,
-               *, metric: str, k: int, n_probes: int, pass_1: int,
-               r: int, qc: int):
+@partial(jax.jit, static_argnames=("dpb", "metric", "k", "n_probes",
+                                   "pass_1", "r", "qc"))
+def _ivf_query(q, center_blocks, R, active_centers, list_codes, list_ids,
+               data, *, dpb: int, metric: str, k: int, n_probes: int,
+               pass_1: int, r: int, qc: int):
     """The full batched IVF query step — one jitted computation.
 
     Stages (shapes: Q queries, C clusters, cap list capacity, B blocks,
@@ -184,6 +183,8 @@ def _ivf_query(q, tables, active_centers, list_codes, list_ids, data,
 
     if metric == "angular":
         q = q / jnp.maximum(jnp.linalg.norm(q, axis=1, keepdims=True), 1e-12)
+    # distance tables fused into the query step (one dispatch end-to-end)
+    tables = _build_tables(q, center_blocks, R, dpb, True).tables
 
     # -- 1. probe selection (exact, on MXU)
     qn = jnp.einsum("qd,qd->q", q, q)

@@ -1,0 +1,98 @@
+"""Pallas TPU kernels — the native-code layer.
+
+The reference's native layer is two Cython/SIMD modules doing the
+Quick-ADC pshufb scan (reference: tinyknn/_fast_pq.pyx,
+_fast_pq_256.pyx). Pallas/Mosaic is the TPU's kernel language the way
+Cython+intrinsics is x86's; the scan becomes: expand 4-bit codes to an
+int8 one-hot tile *in VMEM* (never materialized in HBM) and contract it
+with the query tables on the MXU with int32 accumulation.
+
+Kernel layout
+  codes   uint8[n_pad, B]    (HBM -> VMEM tiles of TILE_N rows)
+  tablesT int8[B*16, Q_pad]  (resident in VMEM, shared by all tiles)
+  out     int32[n_pad, Q_pad]
+
+grid = (n_pad // TILE_N,); each step computes
+  out[i*TILE_N:(i+1)*TILE_N, :] = one_hot(codes_tile) @ tablesT.
+
+On non-TPU backends the kernel runs in interpret mode (tests); the
+dispatcher in ops/scan.py picks this implementation on TPU.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..utils.padding import round_up
+
+TILE_N = 256
+
+
+def _estimate_kernel(codes_ref, tables_ref, out_ref):
+    codes = codes_ref[:]                       # (TILE_N, B) uint8
+    tn, B = codes.shape
+    M = B * 16
+    # one-hot expansion in VMEM: onehot[i, b*16 + v] = (codes[i, b] == v)
+    # 2-D one-hot build (Mosaic cannot reshape 3-D predicate vectors).
+    # Tiled layout: column j of the M=16*B axis corresponds to center
+    # j // B of block j % B (tables are permuted to match outside).
+    # Explicit concatenate (not pltpu.repeat, whose interpret-mode and
+    # hardware semantics differ) keeps CPU tests faithful.
+    codes_tiled = jnp.concatenate([codes.astype(jnp.int32)] * 16, axis=1)
+    center_of_col = jax.lax.broadcasted_iota(jnp.int32, (tn, M), 1) // B
+    onehot = (codes_tiled == center_of_col).astype(jnp.int8)
+    out_ref[:] = jax.lax.dot_general(
+        onehot, tables_ref[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32)
+
+
+@partial(jax.jit, static_argnames=("interpret",))
+def _estimate_pallas(codes, tables, interpret: bool = False):
+    """codes: uint8[n, B]; tables: int8[Q, B, 16] -> int32[Q, n]."""
+    n, B = codes.shape
+    Q = tables.shape[0]
+    M = B * 16
+    n_pad = round_up(max(n, TILE_N), TILE_N)
+    q_pad = round_up(max(Q, 128), 128)
+    if n_pad != n:
+        codes = jnp.pad(codes, ((0, n_pad - n), (0, 0)))
+    # permute rows to the kernel's tiled one-hot layout: row v*B + b
+    # holds tables[q, b, v]
+    tablesT = tables.transpose(2, 1, 0).reshape(M, Q)
+    if q_pad != Q:
+        tablesT = jnp.pad(tablesT, ((0, 0), (0, q_pad - Q)))
+
+    out = pl.pallas_call(
+        _estimate_kernel,
+        grid=(n_pad // TILE_N,),
+        in_specs=[
+            pl.BlockSpec((TILE_N, B), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((M, q_pad), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((TILE_N, q_pad), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n_pad, q_pad), jnp.int32),
+        interpret=interpret,
+    )(codes, tablesT)
+    return out[:n, :Q].T
+
+
+def estimate_scan_pallas(codes, tables):
+    """Dispatcher-facing wrapper; interpret mode off-TPU (tests)."""
+    interpret = jax.default_backend() != "tpu"
+    return _estimate_pallas(codes, tables, interpret=interpret)
+
+
+def register():
+    from .scan import register_pallas_impl
+    register_pallas_impl(estimate_scan_pallas)
+
+
+register()

@@ -39,8 +39,9 @@ def register_pallas_impl(fn):
 
 
 def _default_backend():
-    if _PALLAS_IMPL is not None and jax.default_backend() not in ("cpu",):
-        return "pallas"
+    # XLA one-hot matmul is the measured-fastest default on v5e; the
+    # Pallas kernel (ops/kernels.py) is selected explicitly with
+    # backend="pallas".
     return "xla"
 
 

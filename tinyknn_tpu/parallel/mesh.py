@@ -1,0 +1,32 @@
+"""Device-mesh helpers."""
+
+from __future__ import annotations
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(n_devices=None, axis: str = "shards") -> Mesh:
+    """1-D mesh over the first ``n_devices`` devices (default: all)."""
+    devs = jax.devices()
+    if n_devices is not None:
+        assert n_devices <= len(devs), (
+            f"need {n_devices} devices, have {len(devs)}")
+        devs = devs[:n_devices]
+    return Mesh(np.array(devs), (axis,))
+
+
+def shard_on_axis0(mesh: Mesh, *arrays, axis: str = "shards"):
+    """Place arrays with dim-0 sharded over the mesh axis."""
+    out = []
+    for a in arrays:
+        spec = P(axis, *([None] * (a.ndim - 1)))
+        out.append(jax.device_put(a, NamedSharding(mesh, spec)))
+    return out if len(out) > 1 else out[0]
+
+
+def replicate(mesh: Mesh, *arrays):
+    """Fully replicate arrays over the mesh."""
+    out = [jax.device_put(a, NamedSharding(mesh, P())) for a in arrays]
+    return out if len(out) > 1 else out[0]
