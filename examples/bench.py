@@ -1,0 +1,136 @@
+#!/usr/bin/env python3
+"""Full benchmark harness (reference: examples/bench.py).
+
+Sweeps build_probes x n_probes on a dataset (GloVe/SIFT .npy, or
+synthetic), with ground-truth and index caches, and reports the
+QPS-recall curve and its AUC. Queries run fully batched on the TPU.
+"""
+
+import argparse
+import os.path
+import re
+import sys
+import time
+
+import numpy as np
+
+import sys as _sys, pathlib as _pl
+_sys.path.insert(0, str(_pl.Path(__file__).resolve().parents[1]))  # allow running without install
+
+from tinyknn_tpu import FastPQ, IVF, knn_brute, utils
+
+parser = argparse.ArgumentParser(
+    description="Benchmark FastPQ and IVF on a dataset")
+parser.add_argument("filename",
+                    help=".npy file (e.g. glove.twitter.27B.100d.npy), or "
+                         "random-<size>-<dim> / clustered-<size>-<dim>")
+parser.add_argument("--n-queries", type=int, default=10000)
+parser.add_argument("--dims-per-block", type=int, default=2)
+parser.add_argument("--k-neighbours", type=int, default=10)
+parser.add_argument("--metric", choices=["euclidean", "angular"],
+                    default="euclidean")
+parser.add_argument("--a", type=float, default=1.0,
+                    help="Number of clusters will be int(a * sqrt(n))")
+parser.add_argument("--max-build-probes", type=int, default=10)
+parser.add_argument("--recall-target", type=float, default=0.9)
+parser.add_argument("--no-cache", action="store_true")
+args = parser.parse_args()
+
+num_queries = args.n_queries
+dims_per_block = args.dims_per_block
+k_neighbours = args.k_neighbours
+metric = args.metric
+simple_name = os.path.basename(args.filename)
+
+print("Loading and shuffling...")
+if match := re.match(r"random-(\w+)-(\d+)", args.filename):
+    sizes = {"xs": 10**5, "s": 3 * 10**5, "m": 10**6}
+    size = sizes.get(match.group(1), None) or int(match.group(1))
+    dim = int(match.group(2))
+    data = np.random.default_rng(10).standard_normal(
+        (size + num_queries, dim), dtype=np.float32)
+elif match := re.match(r"clustered-(\w+)-(\d+)", args.filename):
+    sizes = {"xs": 10**5, "s": 3 * 10**5, "m": 10**6}
+    size = sizes.get(match.group(1), None) or int(match.group(1))
+    dim = int(match.group(2))
+    rng = np.random.default_rng(10)
+    n_comp = int((size + num_queries) ** 0.5)
+    centers = rng.standard_normal((n_comp, dim), dtype=np.float32) * 1.0
+    which = rng.integers(0, n_comp, size + num_queries)
+    data = centers[which] + 0.5 * rng.standard_normal(
+        (size + num_queries, dim), dtype=np.float32)
+else:
+    data = np.load(args.filename).astype(np.float32)
+    np.random.seed(10)
+    np.random.shuffle(data)
+data, queries = data[:-num_queries], data[-num_queries:]
+
+num_points, num_dims = data.shape
+num_clusters = int(args.a * num_points**0.5)
+print(f"{num_points=}, {num_dims=}, {num_queries=}, {dims_per_block=}, "
+      f"{num_clusters=}")
+
+trus_file = f"trus_{simple_name}_{k_neighbours=}_{num_queries=}_{metric=}.npy"
+if os.path.isfile(trus_file) and not args.no_cache:
+    with utils.timer(True, f"Loading true neighbours from {trus_file}"):
+        true_neighbours = np.load(trus_file)
+    num_queries, k_neighbours = true_neighbours.shape
+else:
+    with utils.timer(True, "Computing true neighbours (TPU brute force)..."):
+        true_neighbours = np.asarray(
+            knn_brute(queries, data, k_neighbours, metric=metric))
+    if not args.no_cache:
+        np.save(trus_file, true_neighbours)
+
+ivf_file = (f"ivf_{simple_name}_{metric}_{num_clusters=}_"
+            f"{dims_per_block=}.npz")
+pq = FastPQ(dims_per_block)
+ivf = IVF(metric, num_clusters, pq)
+with utils.timer(True, "Fitting index (coarse KMeans + PQ codebooks)..."):
+    t_fit0 = time.time()
+    ivf.fit(data)
+    fit_time = time.time() - t_fit0
+
+true_sets = [set(t.tolist()) for t in true_neighbours]
+
+for build_probes in range(1, args.max_build_probes):
+    with utils.timer(True, f"Adding each point to {build_probes} lists..."):
+        t0 = time.time()
+        ivf.build(data, n_probes=build_probes)
+        build_time = time.time() - t0
+    print(f"[build] fit={fit_time:.1f}s build={build_time:.1f}s")
+
+    print("Querying (batched)")
+    recall = 0.0
+    n_probes = 1
+    qpss, recalls = [], []
+    while recall < args.recall_target and n_probes <= ivf.n_clusters:
+        # warm / compile for this shape
+        guesses = np.asarray(ivf.query(queries, k=k_neighbours,
+                                       n_probes=n_probes))
+        start = time.time()
+        guesses = np.asarray(ivf.query(queries, k=k_neighbours,
+                                       n_probes=n_probes))
+        elapsed = time.time() - start
+        qps = num_queries / elapsed
+        found = sum(len(true_sets[i] & set(g.tolist()))
+                    for i, g in enumerate(guesses))
+        recall = found / k_neighbours / num_queries
+        qpss.append(qps)
+        recalls.append(recall)
+        print(f"Probing {n_probes:>3}/{ivf.n_clusters}: "
+              f"recall{k_neighbours}@{k_neighbours}={recall:.5f}  "
+              f"QPS={qps:,.2f}")
+        n_probes += max(int(n_probes**0.5), 1)
+
+    # Area under the QPS-recall curve for recall in [1/2, 1]
+    # (same definition as reference examples/bench.py:141-148)
+    qpss.append(0.0)
+    recalls.append(1.0)
+    recall0 = 1 / 2
+    qps0 = float(np.interp(recall0, recalls, qpss))
+    i = int(np.searchsorted(recalls, recall0))
+    xs = [recall0] + recalls[i:]
+    ys = [qps0] + qpss[i:]
+    auc = float(np.trapezoid(ys, xs))
+    print(f"Area under the curve from {recall0} to 1: {auc:.1f}")

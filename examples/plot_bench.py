@@ -1,0 +1,56 @@
+#!/usr/bin/env python3
+"""Scrape bench output into a QPS-recall plot (reference: examples/plot_bench.py).
+
+Usage: python examples/bench.py data.npy | tee out.log
+       python examples/plot_bench.py out.log plot.png
+"""
+
+import re
+import sys
+
+import numpy as np
+
+
+def parse(path):
+    """Parse 'recall10@10=R  QPS=Q' lines into series split by builds."""
+    series, cur = [], []
+    pat = re.compile(r"recall\d+@\d+=([\d.]+)\s+QPS=([\d,.]+)")
+    for line in open(path):
+        if line.startswith("[build]") and cur:
+            series.append(cur)
+            cur = []
+        if m := pat.search(line):
+            cur.append((float(m.group(1)),
+                        float(m.group(2).replace(",", ""))))
+    if cur:
+        series.append(cur)
+    return series
+
+
+def main():
+    src = sys.argv[1] if len(sys.argv) > 1 else "bench.log"
+    dst = sys.argv[2] if len(sys.argv) > 2 else "plot.png"
+    series = parse(src)
+    if not series:
+        sys.exit(f"no data points found in {src}")
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    fig, ax = plt.subplots(figsize=(7, 5))
+    for i, pts in enumerate(series, 1):
+        pts = sorted(pts)
+        ax.plot([r for r, _ in pts], [q for _, q in pts],
+                marker="o", label=f"build_probes={i}")
+    ax.set_yscale("log")
+    ax.set_xlabel("Recall@10")
+    ax.set_ylabel("Queries per second")
+    ax.set_title("tinyknn_tpu QPS vs recall")
+    ax.legend()
+    ax.grid(True, alpha=0.3)
+    fig.savefig(dst, dpi=120, bbox_inches="tight")
+    print(f"wrote {dst} ({sum(len(s) for s in series)} points, "
+          f"{len(series)} builds)")
+
+
+if __name__ == "__main__":
+    main()

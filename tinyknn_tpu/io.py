@@ -1,0 +1,103 @@
+"""Index persistence: save/load FastPQ and IVF as npz archives.
+
+The reference's only persistence is an ad-hoc pickle in its benchmark
+script (reference: examples/bench.py:88-103). Here it is a first-class
+API: after padding, a whole index is a handful of dense arrays, so a
+single compressed npz (portable, mmap-able, no code execution on load)
+is the right format.
+"""
+
+from __future__ import annotations
+
+import json
+
+import jax.numpy as jnp
+import numpy as np
+
+from .models.fast_pq import FastPQ
+from .models.ivf import IVF
+
+_FORMAT_VERSION = 1
+
+
+def _pq_state(pq: FastPQ) -> dict:
+    state = {
+        "pq_center_blocks": np.asarray(pq.center_blocks),
+        "pq_meta": np.frombuffer(json.dumps({
+            "dims_per_block": pq.dims_per_block,
+            "use_kmeans": pq.use_kmeans,
+            "rotate_dim": pq.rotate_dim,
+            "seed": pq.seed,
+            "backend": pq.backend,
+        }).encode(), dtype=np.uint8),
+    }
+    if pq.R is not None:
+        state["pq_R"] = np.asarray(pq.R)
+    return state
+
+
+def _pq_restore(data) -> FastPQ:
+    meta = json.loads(bytes(data["pq_meta"]).decode())
+    pq = FastPQ(dims_per_block=meta["dims_per_block"],
+                use_kmeans=meta["use_kmeans"],
+                rotate_dim=meta["rotate_dim"], seed=meta["seed"],
+                backend=meta["backend"])
+    cb = jnp.asarray(data["pq_center_blocks"])
+    pq.center_blocks = cb
+    B, _, dpb = cb.shape
+    pq.centers = jnp.asarray(
+        np.asarray(cb).transpose(1, 0, 2).reshape(16, B * dpb))
+    pq.sqrt_n_blocks = float(np.sqrt(B))
+    if "pq_R" in data:
+        pq.R = jnp.asarray(data["pq_R"])
+    return pq
+
+
+def save_pq(path, pq: FastPQ):
+    assert pq.centers is not None, "save_pq: PQ not fitted"
+    np.savez_compressed(path, format=np.int32(_FORMAT_VERSION),
+                        kind=np.frombuffer(b"fastpq", np.uint8),
+                        **_pq_state(pq))
+
+
+def load_pq(path) -> FastPQ:
+    with np.load(path) as data:
+        return _pq_restore(data)
+
+
+def save_ivf(path, ivf: IVF):
+    assert ivf.list_codes is not None, "save_ivf: index not built"
+    state = _pq_state(ivf.pq)
+    np.savez_compressed(
+        path, format=np.int32(_FORMAT_VERSION),
+        kind=np.frombuffer(b"ivf", np.uint8),
+        ivf_meta=np.frombuffer(json.dumps({
+            "metric": ivf.metric,
+            "n_clusters": ivf.n_clusters,
+            "seed": ivf.seed,
+        }).encode(), dtype=np.uint8),
+        all_centers=np.asarray(ivf.all_centers),
+        active_centers=np.asarray(ivf.active_centers),
+        list_codes=np.asarray(ivf.list_codes),
+        list_ids=np.asarray(ivf.list_ids),
+        data=np.asarray(ivf.data),
+        **state)
+
+
+def load_ivf(path) -> IVF:
+    with np.load(path) as data:
+        meta = json.loads(bytes(data["ivf_meta"]).decode())
+        pq = _pq_restore(data)
+        ivf = IVF.__new__(IVF)
+        ivf.metric = meta["metric"]
+        ivf.n_clusters = meta["n_clusters"]
+        ivf.seed = meta["seed"]
+        ivf.kmeans_iters = 30
+        ivf.queries_per_cluster = None
+        ivf.pq = pq
+        ivf.all_centers = np.asarray(data["all_centers"])
+        ivf.active_centers = jnp.asarray(data["active_centers"])
+        ivf.list_codes = jnp.asarray(data["list_codes"])
+        ivf.list_ids = jnp.asarray(data["list_ids"])
+        ivf.data = jnp.asarray(data["data"])
+        return ivf

@@ -1,0 +1,116 @@
+"""ctypes loader for the native runtime library (native/tinyknn_native.cpp).
+
+Build-on-demand with the system compiler; every entry point has a pure
+NumPy fallback so the package works without a toolchain. The compute
+path never comes through here — this is host-side index-build and IO
+machinery (the reference's equivalents: the grouping loop at
+tinyknn/utils.py:95-162 and examples/sift/convert.py:10-58).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import sys
+from pathlib import Path
+
+import numpy as np
+
+_LIB = None
+_TRIED = False
+
+_SRC = Path(__file__).resolve().parent.parent / "native" / "tinyknn_native.cpp"
+_SO = Path(__file__).resolve().parent / "_tinyknn_native.so"
+
+
+def _build():
+    for cc in ("g++", "c++", "clang++"):
+        try:
+            subprocess.run(
+                [cc, "-O3", "-march=native", "-shared", "-fPIC",
+                 str(_SRC), "-o", str(_SO)],
+                check=True, capture_output=True, timeout=120)
+            return True
+        except (OSError, subprocess.SubprocessError):
+            continue
+    return False
+
+
+def get_lib():
+    """The loaded native library, or None (NumPy fallback)."""
+    global _LIB, _TRIED
+    if _LIB is not None or _TRIED:
+        return _LIB
+    _TRIED = True
+    if os.environ.get("TINYKNN_NO_NATIVE"):
+        return None
+    try:
+        if not _SO.exists() or _SO.stat().st_mtime < _SRC.stat().st_mtime:
+            if not _SRC.exists() or not _build():
+                return None
+        lib = ctypes.CDLL(str(_SO))
+        lib.count_list_sizes.restype = ctypes.c_int32
+        lib.count_list_sizes.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_int32, ctypes.c_void_p]
+        lib.fill_inverted_lists.restype = None
+        lib.fill_inverted_lists.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_int32, ctypes.c_int64, ctypes.c_void_p,
+            ctypes.c_void_p]
+        lib.read_fvecs.restype = ctypes.c_int32
+        lib.read_fvecs.argtypes = [
+            ctypes.c_char_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p]
+        _LIB = lib
+    except OSError as e:
+        print(f"tinyknn_tpu: native lib unavailable ({e}); using NumPy "
+              "fallbacks", file=sys.stderr)
+    return _LIB
+
+
+def invert_assignments_native(assignments, n_lists: int, pad_to: int = 8):
+    """Native counting-sort inverted-list build; returns (ids, counts)
+    with the same contract as utils.grouping.invert_assignments, or
+    None when the native library is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    a = np.ascontiguousarray(assignments, dtype=np.int32)
+    if a.ndim == 1:
+        a = a[:, None]
+    n, p = a.shape
+    counts = np.zeros(n_lists, dtype=np.int32)
+    mx = lib.count_list_sizes(a.ctypes.data, n, p, n_lists,
+                              counts.ctypes.data)
+    cap = max(int(mx) + (-int(mx)) % pad_to, pad_to)
+    ids = np.full((n_lists, cap), -1, dtype=np.int32)
+    cursors = np.zeros(n_lists, dtype=np.int32)
+    lib.fill_inverted_lists(a.ctypes.data, n, p, n_lists, cap,
+                            ids.ctypes.data, cursors.ctypes.data)
+    return ids, counts
+
+
+def read_fvecs(path):
+    """Read an .fvecs file to (n, d) float32 (native or NumPy)."""
+    lib = get_lib()
+    path = str(path)
+    if lib is not None:
+        n = ctypes.c_int64()
+        d = ctypes.c_int64()
+        rc = lib.read_fvecs(path.encode(), None,
+                            ctypes.byref(n), ctypes.byref(d))
+        if rc == 0:
+            out = np.empty((n.value, d.value), dtype=np.float32)
+            rc = lib.read_fvecs(path.encode(), out.ctypes.data,
+                                ctypes.byref(n), ctypes.byref(d))
+            if rc == 0:
+                return out
+    # NumPy fallback
+    raw = np.fromfile(path, dtype=np.int32)
+    d = int(raw[0])
+    assert raw.size % (d + 1) == 0, "corrupt .fvecs file"
+    recs = raw.reshape(-1, d + 1)
+    assert np.all(recs[:, 0] == d), "ragged .fvecs file"
+    return recs[:, 1:].view(np.float32).copy()

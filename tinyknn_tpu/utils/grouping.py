@@ -20,14 +20,23 @@ import numpy as np
 from .padding import round_up
 
 
-def invert_assignments(assignments, n_lists: int, pad_to: int = 8):
+def invert_assignments(assignments, n_lists: int, pad_to: int = 8,
+                       use_native: bool = True):
     """Build padded inverted lists from a (N, p) assignment matrix.
 
     Each point ``i`` appears in lists ``assignments[i, :]`` (build-probes
     spill, reference: tinyknn/ivf.py:85). Returns ``(ids, counts)`` where
     ``ids`` is (n_lists, cap) int32 padded with -1 and ``cap`` is the max
     list length rounded up to a multiple of ``pad_to``.
+
+    Uses the C++ counting-sort builder (native/tinyknn_native.cpp) when
+    available; the NumPy path below produces bit-identical output.
     """
+    if use_native:
+        from ..native import invert_assignments_native
+        out = invert_assignments_native(assignments, n_lists, pad_to)
+        if out is not None:
+            return out
     assignments = np.asarray(assignments)
     if assignments.ndim == 1:
         assignments = assignments[:, None]
