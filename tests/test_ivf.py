@@ -80,3 +80,39 @@ def test_angular_recall():
 def test_small():
     np.random.seed(10)
     assert _test_recall_inner(15, 10, 30, 2, 10, "euclidean", 1) > 0.05
+
+
+def test_bucket_gather_mode_parity():
+    np.random.seed(12)
+    n, d, nq = 400, 16, 10
+    X = np.random.randn(n, d).astype(np.float32)
+    qs = np.random.randn(nq, d).astype(np.float32)
+    ivf = IVF("euclidean", 20, FastPQ(2))
+    ivf.fit(X).build(X, n_probes=2)
+    a = np.asarray(ivf.query(qs, k=5, n_probes=4, mode="bucket"))
+    b = np.asarray(ivf.query(qs, k=5, n_probes=4, mode="gather"))
+    # gather rescores a superset of the bucketed pass_1 cut: results can
+    # only tie or dominate; overlap must be near-total
+    for i in range(nq):
+        da = ((X[a[i]] - qs[i]) ** 2).sum(-1).max()
+        db = ((X[b[i]] - qs[i]) ** 2).sum(-1).max()
+        assert db <= da + 1e-4
+    overlap = np.mean([len(set(a[i].tolist()) & set(b[i].tolist())) / 5
+                       for i in range(nq)])
+    assert overlap >= 0.9, overlap
+
+
+def test_query_stats():
+    np.random.seed(13)
+    n, d = 300, 12
+    X = np.random.randn(n, d).astype(np.float32)
+    qs = np.random.randn(50, d).astype(np.float32)
+    ivf = IVF("euclidean", 10, FastPQ(2))
+    ivf.fit(X).build(X, n_probes=2)
+    out, stats = ivf.query(qs, k=5, n_probes=3, with_stats=True,
+                           mode="bucket")
+    assert out.shape == (50, 5)
+    assert stats["mode"] == "bucket"
+    assert 0 <= stats["dropped_probe_pairs"] <= stats["total_probe_pairs"]
+    # generous default capacity: no drops on an even workload
+    assert stats["dropped_probe_pairs"] == 0

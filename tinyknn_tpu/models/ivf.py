@@ -129,12 +129,19 @@ class IVF:
 
     # ------------------------------------------------------------- query
 
-    def query(self, q, k, n_probes=1, pass_1=None):
+    def query(self, q, k, n_probes=1, pass_1=None, mode="auto",
+              with_stats=False):
         """Top-k ids for one query or a (Q, d) batch.
 
         Reference: tinyknn/ivf.py:106-163. Returns (k,) for a single
         query or (Q, k) for a batch; slots that found no valid candidate
         (possible only when fewer than k points are reachable) hold -1.
+
+        ``mode``: 'bucket' (cluster-bucketed shared-matrix scan — the
+        throughput path), 'gather' (per-query list gather — lower
+        latency for small batches), or 'auto'. ``with_stats=True``
+        additionally returns a diagnostics dict (probe pairs dropped by
+        the bucket capacity, configured capacities).
         """
         q = np.asarray(q, dtype=np.float32)
         single = q.ndim == 1
@@ -150,13 +157,33 @@ class IVF:
         pass_1 = min(pass_1, n_probes * r)
         qc = self.queries_per_cluster or max(
             8, round_up(4 * q.shape[0] * n_probes // max(n_active, 1) + 1, 8))
+        if mode == "auto":
+            mode = "gather" if q.shape[0] * n_probes <= 64 else "bucket"
 
-        out = _ivf_query(
-            jnp.asarray(q), self.pq.center_blocks, self.pq.R,
-            self.active_centers, self.list_codes, self.list_ids, self.data,
-            dpb=self.pq.dims_per_block, metric=self.metric, k=k,
-            n_probes=n_probes, pass_1=pass_1, r=r, qc=qc)
-        return out[0] if single else out
+        if mode == "gather":
+            out = _ivf_query_gather(
+                jnp.asarray(q), self.pq.center_blocks, self.pq.R,
+                self.active_centers, self.list_codes, self.list_ids,
+                self.data, dpb=self.pq.dims_per_block, metric=self.metric,
+                k=k, n_probes=n_probes, pass_1=pass_1)
+            dropped = jnp.int32(0)
+        else:
+            out, dropped = _ivf_query(
+                jnp.asarray(q), self.pq.center_blocks, self.pq.R,
+                self.active_centers, self.list_codes, self.list_ids,
+                self.data, dpb=self.pq.dims_per_block, metric=self.metric,
+                k=k, n_probes=n_probes, pass_1=pass_1, r=r, qc=qc)
+        out = out[0] if single else out
+        if with_stats:
+            return out, {
+                "mode": mode,
+                "dropped_probe_pairs": int(dropped),
+                "total_probe_pairs": int(q.shape[0]) * n_probes,
+                "queries_per_cluster_cap": qc,
+                "pass_1": pass_1,
+                "per_pair_candidates": r,
+            }
+        return out
 
 
 @partial(jax.jit, static_argnames=("dpb", "metric", "k", "n_probes",
@@ -265,6 +292,57 @@ def _ivf_query(q, center_blocks, R, active_centers, list_codes, list_ids,
 
     # -- 5. exact rescore
     gathered = data[jnp.maximum(cand, 0)]             # (Q, pass_1, d)
+    diff = gathered - q[:, None, :]
+    d2 = jnp.einsum("qrd,qrd->qr", diff, diff)
+    d2 = jnp.where(cand >= 0, d2, jnp.inf)
+    _, best = jax.lax.top_k(-d2, k)
+    out = jnp.take_along_axis(cand, best, axis=1)
+    out_d2 = jnp.take_along_axis(d2, best, axis=1)
+    dropped = jnp.sum((slot >= qc) & (sorted_c < C))
+    return jnp.where(jnp.isfinite(out_d2), out, -1), dropped
+
+
+@partial(jax.jit, static_argnames=("dpb", "metric", "k", "n_probes",
+                                   "pass_1"))
+def _ivf_query_gather(q, center_blocks, R, active_centers, list_codes,
+                      list_ids, data, *, dpb: int, metric: str, k: int,
+                      n_probes: int, pass_1: int):
+    """Latency-mode query: gather each query's probed lists directly.
+
+    For small batches the bucketed scan wastes work on the (C, qc) grid;
+    here we gather (Q, P, cap) lists and contract per query. The einsum
+    is a batched matvec (VPU-bound), fine at small Q*P — this is the
+    shape of the reference's per-query loop (tinyknn/ivf.py:140-150),
+    kept for single-query latency parity.
+    """
+    Q, d = q.shape
+    C, cap, B = list_codes.shape
+    P = n_probes
+    if metric == "angular":
+        q = q / jnp.maximum(jnp.linalg.norm(q, axis=1, keepdims=True), 1e-12)
+    tables = _build_tables(q, center_blocks, R, dpb, True).tables
+
+    qn = jnp.einsum("qd,qd->q", q, q)
+    cn = jnp.einsum("cd,cd->c", active_centers, active_centers)
+    d2c = qn[:, None] + cn[None, :] - 2.0 * jax.lax.dot_general(
+        q, active_centers, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    _, probe_sel = jax.lax.top_k(-d2c, P)             # (Q, P)
+
+    codes_p = list_codes[probe_sel]                   # (Q, P, cap, B)
+    ids_p = list_ids[probe_sel]                       # (Q, P, cap)
+    onehot = jax.nn.one_hot(codes_p, 16, dtype=jnp.int8)
+    est = jnp.einsum("qpcbv,qbv->qpc", onehot, tables,
+                     preferred_element_type=jnp.int32).astype(jnp.float32)
+    est = jnp.where(ids_p >= 0, est, jnp.inf)
+    flat_vals = est.reshape(Q, P * cap)
+    flat_ids = ids_p.reshape(Q, P * cap)
+    flat_ids, flat_vals = dedup_candidates(flat_ids, flat_vals)
+    p1 = min(pass_1, P * cap)
+    _, top_pos = jax.lax.top_k(-flat_vals, p1)
+    cand = jnp.take_along_axis(flat_ids, top_pos, axis=1)
+
+    gathered = data[jnp.maximum(cand, 0)]
     diff = gathered - q[:, None, :]
     d2 = jnp.einsum("qrd,qrd->qr", diff, diff)
     d2 = jnp.where(cand >= 0, d2, jnp.inf)

@@ -140,13 +140,12 @@ def blockwise_kmeans(key, cols, k: int = 16, iters: int = 25,
     assumed pre-padded with zero-weight handled by the caller via ``w``.
     """
     B, n, dpb = cols.shape
-    assert n % chunk == 0 or n < chunk
-    c = min(chunk, n)
-    # Round n down? n must be divisible by chunk for the scan reshape;
-    # callers pad n to a multiple of 8 and we pick chunk accordingly.
-    while n % c != 0:
-        c //= 2
+    c = min(chunk, round_up(n, 8))
+    n_pad = round_up(n, c)
     w = jnp.ones((n,), jnp.float32)
+    if n_pad != n:
+        cols = jnp.pad(cols, ((0, 0), (0, n_pad - n), (0, 0)))
+        w = jnp.pad(w, (0, n_pad - n))
 
     def fit_one(key_b, col):
         best_C, best_inertia = None, None

@@ -91,6 +91,11 @@ def _knn_brute_jit(X, Y, k: int, metric: str, chunk: int):
     X = jnp.asarray(X, jnp.float32)
     Y = jnp.asarray(Y, jnp.float32)
     n, d = X.shape
+    m = Y.shape[0]
+    # Bound the live (chunk, m) distance block to ~1 GB regardless of
+    # target-set size.
+    budget_rows = max(8, (1 << 28) // max(m, 1))
+    chunk = min(chunk, budget_rows - budget_rows % 8 or 8)
     if n <= chunk:
         _, idx = jax.lax.top_k(-sq_dists(X, Y), k)
         return idx
