@@ -34,7 +34,7 @@ from ..ops.quantization import (
     quantize_tables_unsigned,
 )
 from ..ops.scan import estimate_scan
-from ..utils.padding import pad1, pad2, round_up
+from ..utils.padding import pad2, round_up
 
 ROW_PAD = 8       # row alignment of the code matrix (f32/int sublane tile)
 BLOCK_PAD = 8     # block-count alignment => one-hot width is a lane multiple

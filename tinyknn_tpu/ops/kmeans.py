@@ -131,13 +131,16 @@ def kmeans_fit(X, k: int, *, key=None, iters: int = 25, n_init: int = 1,
 
 @partial(jax.jit, static_argnames=("k", "iters", "chunk", "n_init"))
 def blockwise_kmeans(key, cols, k: int = 16, iters: int = 25,
-                     chunk: int = 65536, n_init: int = 2):
+                     chunk: int = 16384, n_init: int = 2):
     """Fit k centers independently for each block column.
 
     ``cols``: (B, n, dpb) f32 — the d/dpb block columns. Returns
     (B, k, dpb) centers. This is the reference's per-block sklearn loop
-    (tinyknn/fast_pq.py:117-125) as one vmapped computation; rows are
-    assumed pre-padded with zero-weight handled by the caller via ``w``.
+    (tinyknn/fast_pq.py:117-125) as one jitted computation. All blocks
+    advance together *inside* a single chunked scan over rows — a vmap
+    of whole-array kmeans would buffer per-block copies of the data and
+    blow HBM at millions of rows; this formulation's live set is one
+    (B, chunk, k) block regardless of n.
     """
     B, n, dpb = cols.shape
     c = min(chunk, round_up(n, 8))
@@ -146,31 +149,76 @@ def blockwise_kmeans(key, cols, k: int = 16, iters: int = 25,
     if n_pad != n:
         cols = jnp.pad(cols, ((0, 0), (0, n_pad - n), (0, 0)))
         w = jnp.pad(w, (0, n_pad - n))
+    n_chunks = n_pad // c
+    cols_c = cols.reshape(B, n_chunks, c, dpb).transpose(1, 0, 2, 3)
+    w_c = w.reshape(n_chunks, c)
+    barange = jnp.arange(B)
+    logits0 = jnp.broadcast_to(jnp.where(w > 0, 0.0, -jnp.inf), (B, n_pad))
 
-    def fit_one(key_b, col):
-        best_C, best_inertia = None, None
-        for i in range(n_init):
-            C, inertia = _kmeans_single_inline(
-                jax.random.fold_in(key_b, i), col, w, k, iters, c)
-            if best_C is None:
-                best_C, best_inertia = C, inertia
-            else:
-                take = inertia < best_inertia
-                best_C = jnp.where(take, C, best_C)
-                best_inertia = jnp.minimum(inertia, best_inertia)
-        return best_C
+    def ppp_init(key):
+        """Batched k-means++ over all B blocks at once."""
+        k0, key = jax.random.split(key)
+        first = jax.random.categorical(k0, logits0, axis=-1)     # (B,)
+        c0 = cols[barange, first]                                # (B, dpb)
+        min_d2 = jnp.sum((cols - c0[:, None, :]) ** 2, axis=-1)  # (B, n_pad)
 
-    keys = jax.random.split(key, B)
-    return jax.vmap(fit_one)(keys, cols)
+        def step(carry, key_i):
+            min_d2 = carry
+            scores = min_d2 * w[None, :]
+            logits = jnp.log(jnp.maximum(scores, 1e-30))
+            degenerate = jnp.max(scores, axis=1, keepdims=True) <= 0
+            logits = jnp.where(degenerate, logits0, logits)
+            idx = jax.random.categorical(key_i, logits, axis=-1)
+            cc = cols[barange, idx]                              # (B, dpb)
+            min_d2 = jnp.minimum(
+                min_d2, jnp.sum((cols - cc[:, None, :]) ** 2, axis=-1))
+            return min_d2, cc
 
+        keys = jax.random.split(key, k - 1)
+        _, rest = jax.lax.scan(step, min_d2, keys)               # (k-1, B, dpb)
+        return jnp.concatenate([c0[None], rest], axis=0).transpose(1, 0, 2)
 
-def _kmeans_single_inline(key, X, w, k, iters, chunk):
-    """Non-jitted inner version for use under vmap."""
-    C0 = _plus_plus_init(key, X, w, k)
+    def lloyd_iter(C):
+        """One Lloyd step for all blocks, chunked over rows."""
+        cn = jnp.einsum("bkd,bkd->bk", C, C)
 
-    def body(C, _):
-        C, _, inertia = _lloyd_iter(X, w, C, chunk)
-        return C, inertia
+        def body(carry, xs):
+            sums, counts, inertia = carry
+            x, wi = xs                                  # (B, c, dpb), (c,)
+            d2 = cn[:, None, :] - 2.0 * jnp.einsum(
+                "bcd,bkd->bck", x, C)                    # (B, c, k) + ||x||²
+            assign = jnp.argmin(d2, axis=2)
+            xn = jnp.einsum("bcd,bcd->bc", x, x)
+            best = jnp.min(d2, axis=2) + xn
+            onehot = jax.nn.one_hot(assign, k, dtype=jnp.float32)
+            onehot = onehot * wi[None, :, None]
+            sums = sums + jnp.einsum("bck,bcd->bkd", onehot, x)
+            counts = counts + jnp.sum(onehot, axis=1)
+            inertia = inertia + jnp.sum(
+                jnp.maximum(best, 0.0) * wi[None, :], axis=1)
+            return (sums, counts, inertia), None
 
-    C, inertias = jax.lax.scan(body, C0, None, length=iters)
-    return C, inertias[-1]
+        init = (jnp.zeros((B, k, dpb), jnp.float32),
+                jnp.zeros((B, k), jnp.float32), jnp.zeros((B,), jnp.float32))
+        (sums, counts, inertia), _ = jax.lax.scan(body, init, (cols_c, w_c))
+        newC = jnp.where(counts[..., None] > 0,
+                         sums / jnp.maximum(counts[..., None], 1.0), C)
+        return newC, inertia
+
+    best_C, best_inertia = None, None
+    for i in range(n_init):
+        C = ppp_init(jax.random.fold_in(key, i))
+
+        def body(C, _):
+            C, inertia = lloyd_iter(C)
+            return C, inertia
+
+        C, inertias = jax.lax.scan(body, C, None, length=iters)
+        inertia = inertias[-1]                                   # (B,)
+        if best_C is None:
+            best_C, best_inertia = C, inertia
+        else:
+            take = (inertia < best_inertia)[:, None, None]
+            best_C = jnp.where(take, C, best_C)
+            best_inertia = jnp.minimum(inertia, best_inertia)
+    return best_C

@@ -32,7 +32,7 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.sharding import NamedSharding, PartitionSpec as P
+from jax.sharding import PartitionSpec as P
 
 from ..models.ivf import IVF
 from ..ops.topk import dedup_candidates
