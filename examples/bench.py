@@ -19,6 +19,8 @@ _sys.path.insert(0, str(_pl.Path(__file__).resolve().parents[1]))  # allow runni
 
 from tinyknn_tpu import FastPQ, IVF, knn_brute, utils
 
+utils.enable_compilation_cache()
+
 parser = argparse.ArgumentParser(
     description="Benchmark FastPQ and IVF on a dataset")
 parser.add_argument("filename",

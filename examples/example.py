@@ -73,13 +73,22 @@ est = dtable.estimate_distances(data)
 utils.block(est)
 t2 = time.time() - start
 
-est = np.asarray(est)
-sat_up = int(np.sum(est == est.max()))
-total = est.size
+import jax
+import jax.numpy as jnp
 
-order = np.argsort(est, axis=1)
-places = np.array([int(np.where(order[i] == trus[i])[0][0])
-                   for i in range(k)])
+
+@jax.jit
+def _rank_stats(est, trus_j):
+    tru_vals = jnp.take_along_axis(est, trus_j[:, None], axis=1)
+    less = jnp.sum(est < tru_vals, axis=1)
+    ties = jnp.sum(est == tru_vals, axis=1) - 1
+    at_max = jnp.sum(est == jnp.max(est))
+    return less + ties // 2, at_max
+
+
+places, sat_up = _rank_stats(est, jnp.asarray(trus))
+places = np.asarray(places)
+sat_up, total = int(sat_up), est.size
 
 print()
 print("Median place of true nearest neighbor:", np.median(places))

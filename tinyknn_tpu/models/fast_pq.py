@@ -119,14 +119,20 @@ class FastPQ:
     # ------------------------------------------------------------ encode
 
     def transform(self, data, verbose=False) -> TransformedData:
-        """Encode rows to 4-bit codes (reference: tinyknn/fast_pq.py:147-184)."""
+        """Encode rows to 4-bit codes (reference: tinyknn/fast_pq.py:147-184).
+
+        Accepts NumPy or JAX arrays; a JAX input stays on device
+        (no host readback — device->host is the slow direction).
+        """
         assert self.centers is not None, "PQ has not been fitted"
-        data = np.asarray(data, dtype=np.float32)
+        if not isinstance(data, jnp.ndarray):
+            data = np.asarray(data, dtype=np.float32)
         if data.size == 0:
             return data
         true_n = data.shape[0]
-        data = pad2(data, ROW_PAD, BLOCK_PAD * self.dims_per_block)
-        codes = _encode(jnp.asarray(data), self.center_blocks, self.R,
+        data = pad2(jnp.asarray(data, jnp.float32), ROW_PAD,
+                    BLOCK_PAD * self.dims_per_block)
+        codes = _encode(data, self.center_blocks, self.R,
                         self.dims_per_block)
         return TransformedData(true_n, codes)
 

@@ -39,7 +39,7 @@ from ..utils.padding import round_up
 from ..utils.timing import timer
 from ..ops.kmeans import kmeans_fit
 from ..ops.topk import dedup_candidates
-from .fast_pq import FastPQ, _build_tables
+from .fast_pq import FastPQ, _build_tables, _resolve_method, pass1_topk
 
 CLUSTER_CHUNK = 8  # clusters scanned per lax.map step in the XLA path
 
@@ -48,7 +48,8 @@ class IVF:
     """Inverted-file ANN index (reference: tinyknn/ivf.py)."""
 
     def __init__(self, metric, n_clusters, pq=None, seed=0,
-                 kmeans_iters=30, queries_per_cluster=None):
+                 kmeans_iters=30, queries_per_cluster=None,
+                 pass1_method="auto"):
         assert metric in ["euclidean", "angular"]
         self.metric = metric
         self.pq = FastPQ(dims_per_block=2) if pq is None else pq
@@ -57,6 +58,7 @@ class IVF:
         self.seed = seed
         self.kmeans_iters = kmeans_iters
         self.queries_per_cluster = queries_per_cluster
+        self.pass1_method = pass1_method
         self.all_centers = None
         self.active_centers = None
         self.list_codes = None   # (C, cap, B) uint8
@@ -98,11 +100,13 @@ class IVF:
         assert n_probes <= self.n_clusters, (
             f"Can't assign points to {n_probes} clusters, as index only "
             f"has {self.n_clusters}")
-        X = np.asarray(X, dtype=np.float32)
-        data = X.copy()
+        # One upload; everything else stays on device (device->host
+        # readback is the expensive direction on remote TPU setups).
+        data = jnp.asarray(X, jnp.float32)
         if self.metric == "angular":
-            data /= np.linalg.norm(data, axis=1, keepdims=True)
-        self.data = jnp.asarray(data)
+            norms = jnp.linalg.norm(data, axis=1, keepdims=True)
+            data = data / jnp.maximum(norms, 1e-30)
+        self.data = data
 
         with timer(verbose, "Computing nearest clusters..."):
             n_probes_eff = min(n_probes, len(self.all_centers))
@@ -115,16 +119,18 @@ class IVF:
             remap[active] = np.arange(len(active), dtype=np.int32)
             nearest = remap[nearest]
             self.active_centers = jnp.asarray(
-                np.ascontiguousarray(self.all_centers[active], dtype=np.float32))
+                np.ascontiguousarray(self.all_centers[active],
+                                     dtype=np.float32))
 
         with timer(verbose, "Encoding points into lists..."):
             true_n, codes = self.pq.transform(data)
-            codes = np.asarray(codes)
             ids, counts = invert_assignments(nearest, len(active), pad_to=8)
-            # Gather each list's codes; padding slots reuse row 0's codes
-            # but are masked by id -1 at query time.
-            self.list_codes = jnp.asarray(codes[np.maximum(ids, 0)])
-            self.list_ids = jnp.asarray(ids)
+            ids = jnp.asarray(ids)
+            # Device-side gather into the grid; padding slots reuse row
+            # 0's codes but are masked by id -1 at query time.
+            self.list_codes = jax.jit(
+                lambda c, i: c[jnp.maximum(i, 0)])(codes, ids)
+            self.list_ids = ids
         return self
 
     # ------------------------------------------------------------- query
@@ -156,9 +162,11 @@ class IVF:
         r = min(pass_1, cap)
         pass_1 = min(pass_1, n_probes * r)
         qc = self.queries_per_cluster or max(
-            8, round_up(4 * q.shape[0] * n_probes // max(n_active, 1) + 1, 8))
+            8, round_up(5 * q.shape[0] * n_probes // (2 * max(n_active, 1))
+                        + 1, 8))
         if mode == "auto":
             mode = "gather" if q.shape[0] * n_probes <= 64 else "bucket"
+        method = _resolve_method(self.pass1_method)
 
         if mode == "gather":
             out = _ivf_query_gather(
@@ -172,7 +180,8 @@ class IVF:
                 jnp.asarray(q), self.pq.center_blocks, self.pq.R,
                 self.active_centers, self.list_codes, self.list_ids,
                 self.data, dpb=self.pq.dims_per_block, metric=self.metric,
-                k=k, n_probes=n_probes, pass_1=pass_1, r=r, qc=qc)
+                k=k, n_probes=n_probes, pass_1=pass_1, r=r, qc=qc,
+                method=method)
         out = out[0] if single else out
         if with_stats:
             return out, {
@@ -187,10 +196,10 @@ class IVF:
 
 
 @partial(jax.jit, static_argnames=("dpb", "metric", "k", "n_probes",
-                                   "pass_1", "r", "qc"))
+                                   "pass_1", "r", "qc", "method"))
 def _ivf_query(q, center_blocks, R, active_centers, list_codes, list_ids,
                data, *, dpb: int, metric: str, k: int, n_probes: int,
-               pass_1: int, r: int, qc: int):
+               pass_1: int, r: int, qc: int, method: str = "exact"):
     """The full batched IVF query step — one jitted computation.
 
     Stages (shapes: Q queries, C clusters, cap list capacity, B blocks,
@@ -266,7 +275,7 @@ def _ivf_query(q, center_blocks, R, active_centers, list_codes, list_ids,
             preferred_element_type=jnp.int32)         # (CH, qc, cap)
         est = est.astype(jnp.float32)
         est = jnp.where(ids_k[:, None, :] >= 0, est, jnp.inf)
-        vals, idx = jax.lax.top_k(-est, r)            # (CH, qc, r)
+        vals, idx = pass1_topk(-est, r, method)       # (CH, qc, r)
         cand_ids = jnp.take_along_axis(
             jnp.broadcast_to(ids_k[:, None, :], est.shape), idx, axis=2)
         return -vals, cand_ids

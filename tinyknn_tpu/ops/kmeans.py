@@ -32,6 +32,23 @@ def _pairwise_sq(X, C):
     return xn[:, None] + cn[None, :] - 2.0 * inner
 
 
+INIT_POOL_FACTOR = 16  # k-means++ candidate pool: INIT_POOL_FACTOR * k rows
+
+
+def _init_pool(key, n: int, k: int):
+    """Row indices of the k-means++ candidate pool.
+
+    Seeding on the full dataset costs one full-data pass *per center*
+    (bandwidth-bound: ~500 GB of HBM reads at 1.2M rows x 1k centers);
+    a 16k-point pool preserves seeding quality at a fraction of the
+    traffic — the same tradeoff sklearn's MiniBatchKMeans makes.
+    """
+    pool = min(n, max(2048, INIT_POOL_FACTOR * k))
+    if pool == n:
+        return None
+    return jax.random.permutation(key, n)[:pool]
+
+
 def _plus_plus_init(key, X, w, k: int):
     """k-means++ seeding. X: (n, d) f32, w: (n,) weights (0 for padding)."""
     n = X.shape[0]
@@ -89,7 +106,12 @@ def _lloyd_iter(X, w, C, chunk: int):
 
 @partial(jax.jit, static_argnames=("k", "iters", "chunk"))
 def _kmeans_single(key, X, w, k: int, iters: int, chunk: int):
-    C0 = _plus_plus_init(key, X, w, k)
+    kp, key = jax.random.split(key)
+    pool = _init_pool(kp, X.shape[0], k)
+    if pool is None:
+        C0 = _plus_plus_init(key, X, w, k)
+    else:
+        C0 = _plus_plus_init(key, X[pool], w[pool], k)
 
     def body(C, _):
         C, _, inertia = _lloyd_iter(X, w, C, chunk)
@@ -153,25 +175,30 @@ def blockwise_kmeans(key, cols, k: int = 16, iters: int = 25,
     cols_c = cols.reshape(B, n_chunks, c, dpb).transpose(1, 0, 2, 3)
     w_c = w.reshape(n_chunks, c)
     barange = jnp.arange(B)
-    logits0 = jnp.broadcast_to(jnp.where(w > 0, 0.0, -jnp.inf), (B, n_pad))
+    kp, key = jax.random.split(key)
+    pool = _init_pool(kp, n, k)
+    cols_i = cols if pool is None else cols[:, pool, :]  # (B, n_i, dpb)
+    w_i = w if pool is None else w[pool]
+    n_i = cols_i.shape[1]
+    logits0 = jnp.broadcast_to(jnp.where(w_i > 0, 0.0, -jnp.inf), (B, n_i))
 
     def ppp_init(key):
-        """Batched k-means++ over all B blocks at once."""
+        """Batched k-means++ over all B blocks at once (pooled rows)."""
         k0, key = jax.random.split(key)
         first = jax.random.categorical(k0, logits0, axis=-1)     # (B,)
-        c0 = cols[barange, first]                                # (B, dpb)
-        min_d2 = jnp.sum((cols - c0[:, None, :]) ** 2, axis=-1)  # (B, n_pad)
+        c0 = cols_i[barange, first]                              # (B, dpb)
+        min_d2 = jnp.sum((cols_i - c0[:, None, :]) ** 2, axis=-1)
 
         def step(carry, key_i):
             min_d2 = carry
-            scores = min_d2 * w[None, :]
+            scores = min_d2 * w_i[None, :]
             logits = jnp.log(jnp.maximum(scores, 1e-30))
             degenerate = jnp.max(scores, axis=1, keepdims=True) <= 0
             logits = jnp.where(degenerate, logits0, logits)
             idx = jax.random.categorical(key_i, logits, axis=-1)
-            cc = cols[barange, idx]                              # (B, dpb)
+            cc = cols_i[barange, idx]                            # (B, dpb)
             min_d2 = jnp.minimum(
-                min_d2, jnp.sum((cols - cc[:, None, :]) ** 2, axis=-1))
+                min_d2, jnp.sum((cols_i - cc[:, None, :]) ** 2, axis=-1))
             return min_d2, cc
 
         keys = jax.random.split(key, k - 1)

@@ -59,23 +59,19 @@ class ShardedIVF(IVF):
         super().build(X, n_probes, verbose)
         n_dev = self.mesh.devices.size
         C, cap, B = self.list_codes.shape
-        # pad cluster count to a multiple of the mesh size
+        # Pad cluster count to a multiple of the mesh size and build the
+        # per-list raw-vector grid — all on device (no host readback).
         C_pad = C + (-C) % n_dev
-        codes = np.zeros((C_pad, cap, B), np.uint8)
-        codes[:C] = np.asarray(self.list_codes)
-        ids = np.full((C_pad, cap), -1, np.int32)
-        ids[:C] = np.asarray(self.list_ids)
-        data = np.asarray(self.data)
-        vecs = data[np.maximum(ids, 0)].astype(np.float32)  # (C_pad, cap, d)
-        centers = np.zeros((C_pad, data.shape[1]), np.float32)
-        centers[:C] = np.asarray(self.active_centers)
-        # push unused (padding) centers far away so they are never probed
-        centers[C:] = np.float32(1e9)
+        codes = jnp.pad(self.list_codes, ((0, C_pad - C), (0, 0), (0, 0)))
+        ids = jnp.pad(self.list_ids, ((0, C_pad - C), (0, 0)),
+                      constant_values=-1)
+        vecs = jax.jit(lambda d, i: d[jnp.maximum(i, 0)])(self.data, ids)
+        centers = jnp.pad(self.active_centers, ((0, C_pad - C), (0, 0)),
+                          # padding centers sit far away: never probed
+                          constant_values=1e9)
         self.list_codes, self.list_ids, self.list_vecs = shard_on_axis0(
-            self.mesh, jnp.asarray(codes), jnp.asarray(ids),
-            jnp.asarray(vecs), axis=self.axis)
-        self.active_centers = replicate(
-            self.mesh, jnp.asarray(centers))
+            self.mesh, codes, ids, vecs, axis=self.axis)
+        self.active_centers = replicate(self.mesh, centers)
         self._n_active_real = C
         return self
 

@@ -13,12 +13,12 @@ from .grouping import (
     invert_assignments,
     invert_assignments_csr,
 )
-from .timing import block, profile_trace, timer
+from .timing import block, enable_compilation_cache, profile_trace, timer
 
 __all__ = [
     "pad1", "pad2", "round_up",
     "bottom_k", "bottom_k_2d", "cdist", "knn_brute", "knn_brute1",
     "l2_normalize", "sq_dists",
     "group_data_by_indices", "invert_assignments", "invert_assignments_csr",
-    "block", "profile_trace", "timer",
+    "block", "enable_compilation_cache", "profile_trace", "timer",
 ]

@@ -38,3 +38,12 @@ def profile_trace(logdir=None):
         return
     with jax.profiler.trace(str(logdir)):
         yield
+
+
+def enable_compilation_cache(path=".jax_cache", min_compile_secs=1.0):
+    """Persist XLA compilations to disk (large-shape compiles through a
+    remote TPU compile service can take minutes; the cache makes repeat
+    benchmark runs start hot)."""
+    jax.config.update("jax_compilation_cache_dir", str(path))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                      float(min_compile_secs))
