@@ -81,3 +81,29 @@ def test_lloyd_step_dp_matches_serial(mesh):
                      for j in range(k)])
     np.testing.assert_allclose(np.asarray(newC), expC, rtol=1e-4, atol=1e-5)
     np.testing.assert_allclose(float(inertia), d2.min(1).sum(), rtol=1e-4)
+
+
+def test_sharded_fastpq_matches_single(mesh):
+    from tinyknn_tpu.parallel import ShardedFastPQ
+    n, d, nq, k = 333, 16, 12, 7
+    X = np.random.randn(n, d).astype(np.float32)
+    qs = np.random.randn(nq, d).astype(np.float32)
+
+    pq = FastPQ(2, seed=5)
+    data = pq.fit_transform(X)
+    a = np.asarray(pq.search(qs, data, X, k=k, method="exact"))
+
+    spq = ShardedFastPQ(FastPQ(2, seed=5), mesh=mesh)
+    spq.fit(X).build(X)
+    b = np.asarray(spq.search(qs, k=k, method="exact"))
+
+    # Per-shard rescore pools are supersets of the single-device pool:
+    # dominance + high overlap (same contract as the sharded IVF test).
+    overlaps = []
+    for i in range(nq):
+        da = ((X[a[i]] - qs[i]) ** 2).sum(-1).max()
+        db = ((X[b[i]] - qs[i]) ** 2).sum(-1).max()
+        assert db <= da + 1e-4, (i, da, db)
+        overlaps.append(len(set(a[i].tolist()) & set(b[i].tolist())) / k)
+    assert np.mean(overlaps) >= 0.85, overlaps
+    assert np.all((b >= 0) & (b < n))

@@ -288,8 +288,12 @@ def _ivf_query(q, center_blocks, R, active_centers, list_codes, list_ids,
     # -- 4. gather-back, dedup, global top-pass_1
     sl = jnp.minimum(slot_orig, qc - 1)
     valid_pair = slot_orig < qc
-    my_vals = cand_vals[probe_sel, sl]                # (Q, P, r)
-    my_ids = cand_ids[probe_sel, sl]
+    # single-index row gather: the equivalent two-index-array gather
+    # (cand_vals[probe_sel, sl]) hits a TPU runtime fault at large
+    # (Q, P, qc) shapes — flattening sidesteps it and is faster anyway
+    pair_idx = probe_sel * qc + sl                    # (Q, P)
+    my_vals = cand_vals.reshape(C_pad * qc, r)[pair_idx]  # (Q, P, r)
+    my_ids = cand_ids.reshape(C_pad * qc, r)[pair_idx]
     my_vals = jnp.where(valid_pair[:, :, None], my_vals, jnp.inf)
     my_ids = jnp.where(valid_pair[:, :, None], my_ids, -1)
     flat_vals = my_vals.reshape(Q, P * r)

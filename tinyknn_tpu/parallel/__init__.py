@@ -2,6 +2,7 @@
 
 from .mesh import make_mesh, replicate, shard_on_axis0
 from .sharded_ivf import ShardedIVF, lloyd_step_dp
+from .sharded_pq import ShardedFastPQ
 
 __all__ = ["make_mesh", "replicate", "shard_on_axis0", "ShardedIVF",
-           "lloyd_step_dp"]
+           "ShardedFastPQ", "lloyd_step_dp"]

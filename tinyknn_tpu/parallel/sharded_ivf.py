@@ -212,13 +212,18 @@ def _shard_local_query(q, tables, centers, codes_l, ids_l, vecs_l, *,
     cand_vals, cand_ids, cand_pos = jax.lax.fori_loop(
         0, n_chunks, scan_chunk, init)
 
-    # ---- gather-back per query
+    # ---- gather-back per query (flattened single-index gather; the
+    # two-index form faults the TPU runtime at large shapes)
     lc = jnp.clip(local_c, 0, Cl_pad - 1)
     sl = jnp.minimum(slot_orig, qc - 1)
     ok = is_local & (slot_orig < qc)
-    my_vals = jnp.where(ok[:, :, None], cand_vals[lc, sl], jnp.inf)
-    my_ids = jnp.where(ok[:, :, None], cand_ids[lc, sl], -1)
-    my_pos = jnp.where(ok[:, :, None], cand_pos[lc, sl], 0)
+    pair_idx = lc * qc + sl
+    my_vals = jnp.where(ok[:, :, None],
+                        cand_vals.reshape(Cl_pad * qc, r)[pair_idx], jnp.inf)
+    my_ids = jnp.where(ok[:, :, None],
+                       cand_ids.reshape(Cl_pad * qc, r)[pair_idx], -1)
+    my_pos = jnp.where(ok[:, :, None],
+                       cand_pos.reshape(Cl_pad * qc, r)[pair_idx], 0)
     flat_vals = my_vals.reshape(Q, P_ * r)
     flat_ids = my_ids.reshape(Q, P_ * r)
     flat_pos = my_pos.reshape(Q, P_ * r)
