@@ -116,3 +116,22 @@ def test_query_stats():
     assert 0 <= stats["dropped_probe_pairs"] <= stats["total_probe_pairs"]
     # generous default capacity: no drops on an even workload
     assert stats["dropped_probe_pairs"] == 0
+
+
+def test_adaptive_r_bucket_vs_gather_medium():
+    """At high n_probes, the bucketed path truncates per-pair candidates
+    to r=3k < pass_1; recall vs the exhaustive gather path must not
+    regress beyond tie-noise."""
+    np.random.seed(14)
+    n, d, nq, k, P = 5000, 16, 64, 10, 12
+    X = np.random.randn(n, d).astype(np.float32)
+    qs = np.random.randn(nq, d).astype(np.float32)
+    trus = np.asarray(knn_brute(qs, X, k=k))
+    ivf = IVF("euclidean", 70, FastPQ(2))
+    ivf.fit(X).build(X, n_probes=2)
+    rec = {}
+    for mode in ["bucket", "gather"]:
+        g = np.asarray(ivf.query(qs, k=k, n_probes=P, mode=mode))
+        rec[mode] = np.mean([len(set(a.tolist()) & set(t.tolist())) / k
+                             for a, t in zip(g, trus)])
+    assert rec["bucket"] >= rec["gather"] - 0.02, rec

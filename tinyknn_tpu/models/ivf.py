@@ -159,8 +159,13 @@ class IVF:
         cap = self.list_codes.shape[1]
         if pass_1 is None:
             pass_1 = (n_probes + 1) * k + 1
+        # Deep candidate budget for each query's nearest cluster (it
+        # holds most true neighbors and estimate noise makes depth
+        # matter); shallow budget for the remaining probes — a distant
+        # cluster can contribute at most a few winners.
         r = min(pass_1, cap)
-        pass_1 = min(pass_1, n_probes * r)
+        r_tail = min(pass_1, cap, max(3 * k, 16))
+        pass_1 = min(pass_1, r + (n_probes - 1) * r_tail)
         qc = self.queries_per_cluster or max(
             8, round_up(5 * q.shape[0] * n_probes // (2 * max(n_active, 1))
                         + 1, 8))
@@ -180,8 +185,8 @@ class IVF:
                 jnp.asarray(q), self.pq.center_blocks, self.pq.R,
                 self.active_centers, self.list_codes, self.list_ids,
                 self.data, dpb=self.pq.dims_per_block, metric=self.metric,
-                k=k, n_probes=n_probes, pass_1=pass_1, r=r, qc=qc,
-                method=method)
+                k=k, n_probes=n_probes, pass_1=pass_1, r=r, r_tail=r_tail,
+                qc=qc, method=method)
         out = out[0] if single else out
         if with_stats:
             return out, {
@@ -190,76 +195,50 @@ class IVF:
                 "total_probe_pairs": int(q.shape[0]) * n_probes,
                 "queries_per_cluster_cap": qc,
                 "pass_1": pass_1,
-                "per_pair_candidates": r,
+                "per_pair_candidates": (r, r_tail),
             }
         return out
 
 
-@partial(jax.jit, static_argnames=("dpb", "metric", "k", "n_probes",
-                                   "pass_1", "r", "qc", "method"))
-def _ivf_query(q, center_blocks, R, active_centers, list_codes, list_ids,
-               data, *, dpb: int, metric: str, k: int, n_probes: int,
-               pass_1: int, r: int, qc: int, method: str = "exact"):
-    """The full batched IVF query step — one jitted computation.
+def _bucket_scan_round(probe_sub, tables_flat, list_codes, list_ids,
+                       qc: int, r: int, method: str):
+    """One bucketed scan round over a probe subset.
 
-    Stages (shapes: Q queries, C clusters, cap list capacity, B blocks,
-    P probes, r per-pair candidates, qc max queries bucketed per
-    cluster):
-      1. probe selection: exact distances to active centers, top-P.
-      2. bucket: invert (query, probe) pairs into per-cluster query
-         slots (sort + run-position), static capacity qc.
-      3. scan: for each cluster, one-hot(codes) @ tables[its queries]
-         on the MXU, then per-(cluster, slot) top-r candidates.
-      4. gather-back per query, dedup spilled ids, global top-pass_1.
-      5. exact fp32 rescore of the survivors, final top-k.
+    probe_sub: (Q, Ps) cluster ids. Buckets the (query, probe) pairs by
+    cluster (sort + run-position, static capacity ``qc``), scans each
+    cluster once as a shared one-hot x tables int8 matmul on the MXU,
+    keeps the top-``r`` candidates per (cluster, query-slot), and
+    gathers them back per query. Returns ((Q, Ps, r) vals, ids, dropped
+    pair count).
     """
-    Q, d = q.shape
+    Q, Ps = probe_sub.shape
     C, cap, B = list_codes.shape
-    P = n_probes
+    M = B * 16
 
-    if metric == "angular":
-        q = q / jnp.maximum(jnp.linalg.norm(q, axis=1, keepdims=True), 1e-12)
-    # distance tables fused into the query step (one dispatch end-to-end)
-    tables = _build_tables(q, center_blocks, R, dpb, True).tables
-
-    # -- 1. probe selection (exact, on MXU)
-    qn = jnp.einsum("qd,qd->q", q, q)
-    cn = jnp.einsum("cd,cd->c", active_centers, active_centers)
-    d2c = qn[:, None] + cn[None, :] - 2.0 * jax.lax.dot_general(
-        q, active_centers, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32)
-    _, probe_sel = jax.lax.top_k(-d2c, P)            # (Q, P) int32
-
-    # -- 2. bucket (query, probe) pairs by cluster
-    pairs = probe_sel.reshape(-1)                     # (QP,)
-    q_of_pair = jnp.arange(Q * P, dtype=jnp.int32) // P
+    pairs = probe_sub.reshape(-1)                     # (Q*Ps,)
+    q_of_pair = jnp.arange(Q * Ps, dtype=jnp.int32) // Ps
     order = jnp.argsort(pairs, stable=True)
     sorted_c = pairs[order]
     sorted_q = q_of_pair[order]
-    pos = jnp.arange(Q * P, dtype=jnp.int32)
+    pos = jnp.arange(Q * Ps, dtype=jnp.int32)
     is_start = jnp.concatenate(
         [jnp.ones((1,), bool), sorted_c[1:] != sorted_c[:-1]])
     run_start = jax.lax.cummax(jnp.where(is_start, pos, 0), axis=0)
     slot = pos - run_start                            # position within run
     in_cap = slot < qc
-    # scatter query ids into the (C, qc) grid; overflow pairs fall out of
-    # bounds and are dropped (their probe is skipped — qc is sized so
-    # this is rare; raise queries_per_cluster to eliminate it)
+    # scatter query ids into the (C, qc) grid; overflow pairs fall out
+    # of bounds and are dropped (qc is sized so this is rare; raise
+    # queries_per_cluster to eliminate it)
     qgrid = jnp.full((C, qc), -1, jnp.int32)
     qgrid = qgrid.at[jnp.where(in_cap, sorted_c, C),
                      jnp.minimum(slot, qc - 1)].set(sorted_q, mode="drop")
-    # remember each original pair's (cluster, slot) for the gather-back
-    slot_orig = jnp.zeros((Q * P,), jnp.int32).at[order].set(slot)
-    slot_orig = slot_orig.reshape(Q, P)
+    slot_orig = jnp.zeros((Q * Ps,), jnp.int32).at[order].set(slot)
+    slot_orig = slot_orig.reshape(Q, Ps)
 
-    # -- 3. per-cluster scan (chunked over clusters)
-    M = B * 16
-    tables_flat = tables.reshape(Q, M)                # int8
     n_chunks = -(-C // CLUSTER_CHUNK)
     C_pad = n_chunks * CLUSTER_CHUNK
     codes_g = jnp.pad(list_codes, ((0, C_pad - C), (0, 0), (0, 0)))
-    ids_g = jnp.pad(list_ids, ((0, C_pad - C), (0, 0)),
-                    constant_values=-1)
+    ids_g = jnp.pad(list_ids, ((0, C_pad - C), (0, 0)), constant_values=-1)
     qgrid_g = jnp.pad(qgrid, ((0, C_pad - C), (0, 0)), constant_values=-1)
     codes_g = codes_g.reshape(n_chunks, CLUSTER_CHUNK, cap, B)
     ids_g = ids_g.reshape(n_chunks, CLUSTER_CHUNK, cap)
@@ -282,36 +261,96 @@ def _ivf_query(q, center_blocks, R, active_centers, list_codes, list_ids,
 
     cand_vals, cand_ids = jax.lax.map(
         scan_chunk, (codes_g, ids_g, qgrid_g))        # (nc, CH, qc, r)
-    cand_vals = cand_vals.reshape(C_pad, qc, r)
-    cand_ids = cand_ids.reshape(C_pad, qc, r)
+    cand_vals = cand_vals.reshape(C_pad * qc, r)
+    cand_ids = cand_ids.reshape(C_pad * qc, r)
 
-    # -- 4. gather-back, dedup, global top-pass_1
     sl = jnp.minimum(slot_orig, qc - 1)
     valid_pair = slot_orig < qc
     # single-index row gather: the equivalent two-index-array gather
-    # (cand_vals[probe_sel, sl]) hits a TPU runtime fault at large
+    # (cand_vals[probe_sub, sl]) hits a TPU runtime fault at large
     # (Q, P, qc) shapes — flattening sidesteps it and is faster anyway
-    pair_idx = probe_sel * qc + sl                    # (Q, P)
-    my_vals = cand_vals.reshape(C_pad * qc, r)[pair_idx]  # (Q, P, r)
-    my_ids = cand_ids.reshape(C_pad * qc, r)[pair_idx]
+    pair_idx = probe_sub * qc + sl                    # (Q, Ps)
+    my_vals = cand_vals[pair_idx]                     # (Q, Ps, r)
+    my_ids = cand_ids[pair_idx]
     my_vals = jnp.where(valid_pair[:, :, None], my_vals, jnp.inf)
     my_ids = jnp.where(valid_pair[:, :, None], my_ids, -1)
-    flat_vals = my_vals.reshape(Q, P * r)
-    flat_ids = my_ids.reshape(Q, P * r)
+    dropped = jnp.sum((slot >= qc) & (sorted_c < C))
+    return my_vals, my_ids, dropped
+
+
+@partial(jax.jit, static_argnames=("dpb", "metric", "k", "n_probes",
+                                   "pass_1", "r", "r_tail", "qc", "method"))
+def _ivf_query(q, center_blocks, R, active_centers, list_codes, list_ids,
+               data, *, dpb: int, metric: str, k: int, n_probes: int,
+               pass_1: int, r: int, r_tail: int, qc: int,
+               method: str = "exact"):
+    """The full batched IVF query step — one jitted computation.
+
+    Stages (Q queries, C clusters, cap list capacity, P probes):
+      1. probe selection: exact distances to active centers, top-P.
+      2-3. bucketed list scans in two rounds: the *nearest* cluster of
+         each query is scanned with a deep per-pair candidate budget
+         (r = pass_1: most true neighbors live there, and estimate
+         noise means depth matters), remaining probes with a shallow
+         budget (r_tail ~ 3k: only a distant cluster's best few can
+         make the final top-k). This keeps the reference's shared-
+         candidate-pool semantics where it counts at a fraction of the
+         top-r selection cost.
+      4. dedup spilled ids, global top-pass_1.
+      5. exact fp32 rescore of the survivors, final top-k.
+    """
+    Q, d = q.shape
+    C, cap, B = list_codes.shape
+    P = n_probes
+
+    if metric == "angular":
+        q = q / jnp.maximum(jnp.linalg.norm(q, axis=1, keepdims=True), 1e-12)
+    # distance tables fused into the query step (one dispatch end-to-end)
+    tables = _build_tables(q, center_blocks, R, dpb, True).tables
+    tables_flat = tables.reshape(Q, B * 16)
+
+    # -- 1. probe selection (exact, on MXU)
+    qn = jnp.einsum("qd,qd->q", q, q)
+    cn = jnp.einsum("cd,cd->c", active_centers, active_centers)
+    d2c = qn[:, None] + cn[None, :] - 2.0 * jax.lax.dot_general(
+        q, active_centers, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    _, probe_sel = jax.lax.top_k(-d2c, P)            # (Q, P) int32
+
+    # -- 2-3. scan rounds
+    qc0 = max(8, -(-5 * Q // (2 * C)) // 8 * 8 + 8)
+    v0, i0, drop0 = _bucket_scan_round(
+        probe_sel[:, :1], tables_flat, list_codes, list_ids,
+        qc=qc0, r=r, method=method)
+    if P > 1:
+        v1, i1, drop1 = _bucket_scan_round(
+            probe_sel[:, 1:], tables_flat, list_codes, list_ids,
+            qc=qc, r=r_tail, method=method)
+        flat_vals = jnp.concatenate(
+            [v0.reshape(Q, -1), v1.reshape(Q, -1)], axis=1)
+        flat_ids = jnp.concatenate(
+            [i0.reshape(Q, -1), i1.reshape(Q, -1)], axis=1)
+        dropped = drop0 + drop1
+    else:
+        flat_vals = v0.reshape(Q, -1)
+        flat_ids = i0.reshape(Q, -1)
+        dropped = drop0
+
+    # -- 4. dedup, global top-pass_1
     flat_vals = jnp.where(flat_ids >= 0, flat_vals, jnp.inf)
     flat_ids, flat_vals = dedup_candidates(flat_ids, flat_vals)
-    _, top_pos = jax.lax.top_k(-flat_vals, pass_1)
-    cand = jnp.take_along_axis(flat_ids, top_pos, axis=1)  # (Q, pass_1)
+    p1 = min(pass_1, flat_ids.shape[1])
+    _, top_pos = jax.lax.top_k(-flat_vals, p1)
+    cand = jnp.take_along_axis(flat_ids, top_pos, axis=1)  # (Q, p1)
 
     # -- 5. exact rescore
-    gathered = data[jnp.maximum(cand, 0)]             # (Q, pass_1, d)
+    gathered = data[jnp.maximum(cand, 0)]             # (Q, p1, d)
     diff = gathered - q[:, None, :]
     d2 = jnp.einsum("qrd,qrd->qr", diff, diff)
     d2 = jnp.where(cand >= 0, d2, jnp.inf)
     _, best = jax.lax.top_k(-d2, k)
     out = jnp.take_along_axis(cand, best, axis=1)
     out_d2 = jnp.take_along_axis(d2, best, axis=1)
-    dropped = jnp.sum((slot >= qc) & (sorted_c < C))
     return jnp.where(jnp.isfinite(out_d2), out, -1), dropped
 
 

@@ -85,6 +85,8 @@ class ShardedIVF(IVF):
         cap = self.list_codes.shape[1]
         if pass_1 is None:
             pass_1 = (n_probes + 1) * k + 1
+        # deep per-pair budget (the per-shard scan splits the cost
+        # across devices; see models/ivf.py for the depth rationale)
         r = min(pass_1, cap)
         pass_1 = min(pass_1, n_probes * r)
         n_dev = self.mesh.devices.size
