@@ -110,10 +110,14 @@ for build_probes in range(1, args.max_build_probes):
         # warm / compile for this shape
         guesses = np.asarray(ivf.query(queries, k=k_neighbours,
                                        n_probes=n_probes))
-        start = time.time()
-        guesses = np.asarray(ivf.query(queries, k=k_neighbours,
-                                       n_probes=n_probes))
-        elapsed = time.time() - start
+        # best-of-2 timing: remote-relay scheduling jitter otherwise
+        # dominates individual measurements
+        elapsed = float("inf")
+        for _ in range(2):
+            start = time.time()
+            guesses = np.asarray(ivf.query(queries, k=k_neighbours,
+                                           n_probes=n_probes))
+            elapsed = min(elapsed, time.time() - start)
         qps = num_queries / elapsed
         found = sum(len(true_sets[i] & set(g.tolist()))
                     for i, g in enumerate(guesses))

@@ -97,6 +97,8 @@ class IVF:
         "transform each group" becomes: encode all rows once, then
         gather into the grid.
         """
+        assert self.all_centers is not None, (
+            "IVF has not been fitted: call fit(X) before build(X)")
         assert n_probes <= self.n_clusters, (
             f"Can't assign points to {n_probes} clusters, as index only "
             f"has {self.n_clusters}")
@@ -149,6 +151,8 @@ class IVF:
         additionally returns a diagnostics dict (probe pairs dropped by
         the bucket capacity, configured capacities).
         """
+        assert self.list_codes is not None, (
+            "IVF index is empty: call fit(X) and build(X) before query")
         q = np.asarray(q, dtype=np.float32)
         single = q.ndim == 1
         if single:
