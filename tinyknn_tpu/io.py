@@ -94,6 +94,7 @@ def load_ivf(path) -> IVF:
         ivf.seed = meta["seed"]
         ivf.kmeans_iters = 30
         ivf.queries_per_cluster = None
+        ivf.pass1_method = "auto"
         ivf.pq = pq
         ivf.all_centers = np.asarray(data["all_centers"])
         ivf.active_centers = jnp.asarray(data["active_centers"])
