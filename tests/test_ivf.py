@@ -135,3 +135,24 @@ def test_adaptive_r_bucket_vs_gather_medium():
         rec[mode] = np.mean([len(set(a.tolist()) & set(t.tolist())) / k
                              for a, t in zip(g, trus)])
     assert rec["bucket"] >= rec["gather"] - 0.02, rec
+
+
+def test_fused_scan_matches_xla():
+    """The Pallas fused scan+select path must agree with the XLA path
+    (interpret mode on CPU; bit-exact selection up to ties)."""
+    np.random.seed(15)
+    n, d, nq = 600, 16, 32
+    X = np.random.randn(n, d).astype(np.float32)
+    qs = np.random.randn(nq, d).astype(np.float32)
+    a_idx = IVF("euclidean", 16, FastPQ(2, seed=3), scan_impl="xla",
+                pass1_method="exact")
+    a_idx.fit(X).build(X, n_probes=2)
+    b_idx = IVF("euclidean", 16, FastPQ(2, seed=3), scan_impl="fused",
+                pass1_method="exact")
+    b_idx.fit(X).build(X, n_probes=2)
+    a = np.asarray(a_idx.query(qs, k=8, n_probes=4, mode="bucket"))
+    b = np.asarray(b_idx.query(qs, k=8, n_probes=4, mode="bucket"))
+    for i in range(nq):
+        da = np.sort(((X[a[i]] - qs[i]) ** 2).sum(-1))
+        db = np.sort(((X[b[i]] - qs[i]) ** 2).sum(-1))
+        np.testing.assert_allclose(da, db, rtol=1e-5)

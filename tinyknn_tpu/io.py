@@ -80,6 +80,7 @@ def save_ivf(path, ivf: IVF):
         active_centers=np.asarray(ivf.active_centers),
         list_codes=np.asarray(ivf.list_codes),
         list_ids=np.asarray(ivf.list_ids),
+        list_counts=np.asarray(ivf.list_counts),
         data=np.asarray(ivf.data),
         **state)
 
@@ -95,10 +96,16 @@ def load_ivf(path) -> IVF:
         ivf.kmeans_iters = 30
         ivf.queries_per_cluster = None
         ivf.pass1_method = "auto"
+        ivf.scan_impl = "auto"
         ivf.pq = pq
         ivf.all_centers = np.asarray(data["all_centers"])
         ivf.active_centers = jnp.asarray(data["active_centers"])
         ivf.list_codes = jnp.asarray(data["list_codes"])
         ivf.list_ids = jnp.asarray(data["list_ids"])
+        if "list_counts" in data:
+            ivf.list_counts = jnp.asarray(data["list_counts"])
+        else:  # older archives: recover from the id grid
+            ivf.list_counts = jnp.sum(ivf.list_ids >= 0, axis=1,
+                                      dtype=jnp.int32)
         ivf.data = jnp.asarray(data["data"])
         return ivf

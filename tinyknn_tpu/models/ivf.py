@@ -49,7 +49,7 @@ class IVF:
 
     def __init__(self, metric, n_clusters, pq=None, seed=0,
                  kmeans_iters=30, queries_per_cluster=None,
-                 pass1_method="auto"):
+                 pass1_method="auto", scan_impl="auto"):
         assert metric in ["euclidean", "angular"]
         self.metric = metric
         self.pq = FastPQ(dims_per_block=2) if pq is None else pq
@@ -59,6 +59,8 @@ class IVF:
         self.kmeans_iters = kmeans_iters
         self.queries_per_cluster = queries_per_cluster
         self.pass1_method = pass1_method
+        self.scan_impl = scan_impl
+        self.list_counts = None
         self.all_centers = None
         self.active_centers = None
         self.list_codes = None   # (C, cap, B) uint8
@@ -133,6 +135,7 @@ class IVF:
             self.list_codes = jax.jit(
                 lambda c, i: c[jnp.maximum(i, 0)])(codes, ids)
             self.list_ids = ids
+            self.list_counts = jnp.asarray(counts.astype(np.int32))
         return self
 
     # ------------------------------------------------------------- query
@@ -176,6 +179,13 @@ class IVF:
         if mode == "auto":
             mode = "gather" if q.shape[0] * n_probes <= 64 else "bucket"
         method = _resolve_method(self.pass1_method)
+        # fused Pallas scan+select when the per-cluster working set fits
+        # VMEM comfortably; the XLA path is the fallback and oracle
+        scan_impl = self.scan_impl
+        if scan_impl == "auto":
+            est_bytes = max(qc, 8) * cap * 4 + cap * self.list_codes.shape[2] * 17
+            scan_impl = ("fused" if jax.default_backend() == "tpu"
+                         and est_bytes < 10 * 2**20 else "xla")
 
         if mode == "gather":
             out = _ivf_query_gather(
@@ -188,9 +198,10 @@ class IVF:
             out, dropped = _ivf_query(
                 jnp.asarray(q), self.pq.center_blocks, self.pq.R,
                 self.active_centers, self.list_codes, self.list_ids,
-                self.data, dpb=self.pq.dims_per_block, metric=self.metric,
+                self.list_counts, self.data,
+                dpb=self.pq.dims_per_block, metric=self.metric,
                 k=k, n_probes=n_probes, pass_1=pass_1, r=r, r_tail=r_tail,
-                qc=qc, method=method)
+                qc=qc, method=method, scan_impl=scan_impl)
         out = out[0] if single else out
         if with_stats:
             return out, {
@@ -205,7 +216,8 @@ class IVF:
 
 
 def _bucket_scan_round(probe_sub, tables_flat, list_codes, list_ids,
-                       qc: int, r: int, method: str):
+                       list_counts, qc: int, r: int, method: str,
+                       scan_impl: str):
     """One bucketed scan round over a probe subset.
 
     probe_sub: (Q, Ps) cluster ids. Buckets the (query, probe) pairs by
@@ -214,6 +226,10 @@ def _bucket_scan_round(probe_sub, tables_flat, list_codes, list_ids,
     keeps the top-``r`` candidates per (cluster, query-slot), and
     gathers them back per query. Returns ((Q, Ps, r) vals, ids, dropped
     pair count).
+
+    scan_impl: 'fused' uses the Pallas scan+select kernel (estimate
+    matrix never leaves VMEM; ~2x the XLA path); 'xla' is the portable
+    path and the oracle.
     """
     Q, Ps = probe_sub.shape
     C, cap, B = list_codes.shape
@@ -239,34 +255,54 @@ def _bucket_scan_round(probe_sub, tables_flat, list_codes, list_ids,
     slot_orig = jnp.zeros((Q * Ps,), jnp.int32).at[order].set(slot)
     slot_orig = slot_orig.reshape(Q, Ps)
 
-    n_chunks = -(-C // CLUSTER_CHUNK)
-    C_pad = n_chunks * CLUSTER_CHUNK
-    codes_g = jnp.pad(list_codes, ((0, C_pad - C), (0, 0), (0, 0)))
-    ids_g = jnp.pad(list_ids, ((0, C_pad - C), (0, 0)), constant_values=-1)
-    qgrid_g = jnp.pad(qgrid, ((0, C_pad - C), (0, 0)), constant_values=-1)
-    codes_g = codes_g.reshape(n_chunks, CLUSTER_CHUNK, cap, B)
-    ids_g = ids_g.reshape(n_chunks, CLUSTER_CHUNK, cap)
-    qgrid_g = qgrid_g.reshape(n_chunks, CLUSTER_CHUNK, qc)
+    if scan_impl == "fused":
+        from ..ops.kernels import scan_select_pallas
+        # tables already in the kernel's tiled layout (see _ivf_query)
+        t_sel = tables_flat[jnp.maximum(qgrid, 0)]    # (C, qc, M) int8
+        vals, pos = scan_select_pallas(
+            t_sel, list_codes, list_counts, r,
+            interpret=jax.default_backend() != "tpu")
+        cand_vals = jnp.swapaxes(vals, 1, 2)          # (C, qc, r)
+        pos = jnp.swapaxes(pos, 1, 2)
+        valid = cand_vals < jnp.float32(1e37)
+        crange = jax.lax.broadcasted_iota(jnp.int32, pos.shape, 0)
+        flat_pos = jnp.minimum(crange * cap + pos, C * cap - 1)
+        cand_ids = jnp.where(valid, list_ids.reshape(C * cap)[flat_pos], -1)
+        cand_vals = jnp.where(valid, cand_vals, jnp.inf)
+        cand_vals = cand_vals.reshape(C * qc, r)
+        cand_ids = cand_ids.reshape(C * qc, r)
+        C_pad = C
+    else:
+        n_chunks = -(-C // CLUSTER_CHUNK)
+        C_pad = n_chunks * CLUSTER_CHUNK
+        codes_g = jnp.pad(list_codes, ((0, C_pad - C), (0, 0), (0, 0)))
+        ids_g = jnp.pad(list_ids, ((0, C_pad - C), (0, 0)),
+                        constant_values=-1)
+        qgrid_g = jnp.pad(qgrid, ((0, C_pad - C), (0, 0)),
+                          constant_values=-1)
+        codes_g = codes_g.reshape(n_chunks, CLUSTER_CHUNK, cap, B)
+        ids_g = ids_g.reshape(n_chunks, CLUSTER_CHUNK, cap)
+        qgrid_g = qgrid_g.reshape(n_chunks, CLUSTER_CHUNK, qc)
 
-    def scan_chunk(args):
-        codes_k, ids_k, qgrid_k = args   # (CH,cap,B) u8, (CH,cap), (CH,qc)
-        onehot = jax.nn.one_hot(codes_k, 16, dtype=jnp.int8)
-        onehot = onehot.reshape(CLUSTER_CHUNK, cap, M)
-        t_sel = tables_flat[jnp.maximum(qgrid_k, 0)]  # (CH, qc, M) int8
-        est = jax.lax.dot_general(
-            t_sel, onehot, (((2,), (2,)), ((0,), (0,))),
-            preferred_element_type=jnp.int32)         # (CH, qc, cap)
-        est = est.astype(jnp.float32)
-        est = jnp.where(ids_k[:, None, :] >= 0, est, jnp.inf)
-        vals, idx = pass1_topk(-est, r, method)       # (CH, qc, r)
-        cand_ids = jnp.take_along_axis(
-            jnp.broadcast_to(ids_k[:, None, :], est.shape), idx, axis=2)
-        return -vals, cand_ids
+        def scan_chunk(args):
+            codes_k, ids_k, qgrid_k = args  # (CH,cap,B), (CH,cap), (CH,qc)
+            onehot = jax.nn.one_hot(codes_k, 16, dtype=jnp.int8)
+            onehot = onehot.reshape(CLUSTER_CHUNK, cap, M)
+            t_sel = tables_flat[jnp.maximum(qgrid_k, 0)]
+            est = jax.lax.dot_general(
+                t_sel, onehot, (((2,), (2,)), ((0,), (0,))),
+                preferred_element_type=jnp.int32)     # (CH, qc, cap)
+            est = est.astype(jnp.float32)
+            est = jnp.where(ids_k[:, None, :] >= 0, est, jnp.inf)
+            vals, idx = pass1_topk(-est, r, method)   # (CH, qc, r)
+            cand_ids = jnp.take_along_axis(
+                jnp.broadcast_to(ids_k[:, None, :], est.shape), idx, axis=2)
+            return -vals, cand_ids
 
-    cand_vals, cand_ids = jax.lax.map(
-        scan_chunk, (codes_g, ids_g, qgrid_g))        # (nc, CH, qc, r)
-    cand_vals = cand_vals.reshape(C_pad * qc, r)
-    cand_ids = cand_ids.reshape(C_pad * qc, r)
+        cand_vals, cand_ids = jax.lax.map(
+            scan_chunk, (codes_g, ids_g, qgrid_g))    # (nc, CH, qc, r)
+        cand_vals = cand_vals.reshape(C_pad * qc, r)
+        cand_ids = cand_ids.reshape(C_pad * qc, r)
 
     sl = jnp.minimum(slot_orig, qc - 1)
     valid_pair = slot_orig < qc
@@ -283,11 +319,12 @@ def _bucket_scan_round(probe_sub, tables_flat, list_codes, list_ids,
 
 
 @partial(jax.jit, static_argnames=("dpb", "metric", "k", "n_probes",
-                                   "pass_1", "r", "r_tail", "qc", "method"))
+                                   "pass_1", "r", "r_tail", "qc", "method",
+                                   "scan_impl"))
 def _ivf_query(q, center_blocks, R, active_centers, list_codes, list_ids,
-               data, *, dpb: int, metric: str, k: int, n_probes: int,
-               pass_1: int, r: int, r_tail: int, qc: int,
-               method: str = "exact"):
+               list_counts, data, *, dpb: int, metric: str, k: int,
+               n_probes: int, pass_1: int, r: int, r_tail: int, qc: int,
+               method: str = "exact", scan_impl: str = "xla"):
     """The full batched IVF query step — one jitted computation.
 
     Stages (Q queries, C clusters, cap list capacity, P probes):
@@ -312,6 +349,9 @@ def _ivf_query(q, center_blocks, R, active_centers, list_codes, list_ids,
     # distance tables fused into the query step (one dispatch end-to-end)
     tables = _build_tables(q, center_blocks, R, dpb, True).tables
     tables_flat = tables.reshape(Q, B * 16)
+    if scan_impl == "fused":
+        from ..ops.kernels import permute_tables_tiled
+        tables_flat = permute_tables_tiled(tables_flat, B)
 
     # -- 1. probe selection (exact, on MXU)
     qn = jnp.einsum("qd,qd->q", q, q)
@@ -324,12 +364,13 @@ def _ivf_query(q, center_blocks, R, active_centers, list_codes, list_ids,
     # -- 2-3. scan rounds
     qc0 = max(8, -(-5 * Q // (2 * C)) // 8 * 8 + 8)
     v0, i0, drop0 = _bucket_scan_round(
-        probe_sel[:, :1], tables_flat, list_codes, list_ids,
-        qc=qc0, r=r, method=method)
+        probe_sel[:, :1], tables_flat, list_codes, list_ids, list_counts,
+        qc=qc0, r=r, method=method, scan_impl=scan_impl)
     if P > 1:
         v1, i1, drop1 = _bucket_scan_round(
             probe_sel[:, 1:], tables_flat, list_codes, list_ids,
-            qc=qc, r=r_tail, method=method)
+            list_counts, qc=qc, r=r_tail, method=method,
+            scan_impl=scan_impl)
         flat_vals = jnp.concatenate(
             [v0.reshape(Q, -1), v1.reshape(Q, -1)], axis=1)
         flat_ids = jnp.concatenate(

@@ -96,3 +96,100 @@ def register():
 
 
 register()
+
+
+# --------------------------------------------------------------------
+# Fused scan+select kernel: the IVF inner loop.
+#
+# For one cluster: est = tables_sel @ one_hot(codes)^T on the MXU, then
+# the top-r smallest entries per query slot are extracted *in VMEM*
+# (iterative min-extraction on the VPU). Nothing of the (qc, cap)
+# estimate matrix ever reaches HBM — in the XLA path its HBM round trip
+# plus approx_max_k dominate the query (see docs/PERFORMANCE.md).
+# This is the TPU-native rendering of the reference's
+# query_pq scan-plus-heap (reference: tinyknn/_fast_pq.pyx:114-206).
+# --------------------------------------------------------------------
+
+def _scan_select_kernel(counts_ref, tsel_ref, codes_ref, vals_ref, idx_ref,
+                        *, r: int):
+    tsel = tsel_ref[0]                           # (qc, M) int8
+    codes = codes_ref[0]                         # (cap, B) uint8
+    count = counts_ref[pl.program_id(0)]         # valid prefix length
+    cap, B = codes.shape
+    M = B * 16
+    qc = tsel.shape[0]
+    # tiled one-hot (column j <-> center j // B of block j % B); tables
+    # were permuted to match outside (same layout as _estimate_kernel)
+    codes_tiled = jnp.concatenate([codes.astype(jnp.int32)] * 16, axis=1)
+    center_of_col = jax.lax.broadcasted_iota(jnp.int32, (cap, M), 1) // B
+    onehot = (codes_tiled == center_of_col).astype(jnp.int8)
+    est = jax.lax.dot_general(
+        tsel, onehot, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.int32)        # (qc, cap)
+    est = est.astype(jnp.float32)
+    big = jnp.float32(3.4e38)
+    col = jax.lax.broadcasted_iota(jnp.int32, (qc, cap), 1)
+    est = jnp.where(col < count, est, big)       # mask list padding
+
+    def body(j, est):
+        m = jnp.min(est, axis=1)                             # (qc,)
+        am = jnp.min(jnp.where(est == m[:, None], col, cap), axis=1)
+        vals_ref[0, j, :] = m
+        idx_ref[0, j, :] = am
+        est = jnp.where(col == am[:, None], big, est)
+        return est
+
+    jax.lax.fori_loop(0, r, body, est)
+
+
+@partial(jax.jit, static_argnames=("r", "interpret"))
+def scan_select_pallas(tables_sel, codes, counts, r: int,
+                       interpret: bool = False):
+    """Fused per-cluster scan + top-r selection.
+
+    tables_sel: int8[C, qc, M] — each cluster's bucketed query tables
+        (M = 16 * B, rows permuted to the tiled one-hot layout:
+        row v * B + b holds table[b, v]).
+    codes: uint8[C, cap, B]; counts: int32[C] — valid prefix length of
+        each list (lists are built contiguous; padding is the suffix).
+    Returns (vals f32[C, r, qc], pos int32[C, r, qc]) — candidate
+    estimate values and positions within the list (cap = invalid).
+    The r-major layout keeps each extraction's write row-contiguous.
+    """
+    C, qc, M = tables_sel.shape
+    _, cap, B = codes.shape
+    assert M == 16 * B
+    counts1 = counts.reshape(C).astype(jnp.int32)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(C,),
+        in_specs=[
+            pl.BlockSpec((1, qc, M), lambda i, counts: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, cap, B), lambda i, counts: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, r, qc), lambda i, counts: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, r, qc), lambda i, counts: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+    )
+    vals, pos = pl.pallas_call(
+        partial(_scan_select_kernel, r=r),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((C, r, qc), jnp.float32),
+            jax.ShapeDtypeStruct((C, r, qc), jnp.int32),
+        ],
+        interpret=interpret,
+    )(counts1, tables_sel, codes)
+    return vals, pos
+
+
+def permute_tables_tiled(tables_flat, B: int):
+    """(..., 16B) tables in block-major layout -> tiled kernel layout."""
+    shape = tables_flat.shape[:-1]
+    t = tables_flat.reshape(shape + (B, 16))
+    return jnp.swapaxes(t, -1, -2).reshape(shape + (16 * B,))
