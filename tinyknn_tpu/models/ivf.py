@@ -269,9 +269,10 @@ def _bucket_scan_round(probe_sub, tables_flat, list_codes, list_ids,
         flat_pos = jnp.minimum(crange * cap + pos, C * cap - 1)
         cand_ids = jnp.where(valid, list_ids.reshape(C * cap)[flat_pos], -1)
         cand_vals = jnp.where(valid, cand_vals, jnp.inf)
+        cand_pos = jnp.where(valid, flat_pos, 0)
         cand_vals = cand_vals.reshape(C * qc, r)
         cand_ids = cand_ids.reshape(C * qc, r)
-        C_pad = C
+        cand_pos = cand_pos.reshape(C * qc, r)
     else:
         n_chunks = -(-C // CLUSTER_CHUNK)
         C_pad = n_chunks * CLUSTER_CHUNK
@@ -280,12 +281,14 @@ def _bucket_scan_round(probe_sub, tables_flat, list_codes, list_ids,
                         constant_values=-1)
         qgrid_g = jnp.pad(qgrid, ((0, C_pad - C), (0, 0)),
                           constant_values=-1)
+        cids_g = jnp.arange(C_pad, dtype=jnp.int32)
         codes_g = codes_g.reshape(n_chunks, CLUSTER_CHUNK, cap, B)
         ids_g = ids_g.reshape(n_chunks, CLUSTER_CHUNK, cap)
         qgrid_g = qgrid_g.reshape(n_chunks, CLUSTER_CHUNK, qc)
+        cids_g = cids_g.reshape(n_chunks, CLUSTER_CHUNK)
 
         def scan_chunk(args):
-            codes_k, ids_k, qgrid_k = args  # (CH,cap,B), (CH,cap), (CH,qc)
+            codes_k, ids_k, qgrid_k, cids_k = args
             onehot = jax.nn.one_hot(codes_k, 16, dtype=jnp.int8)
             onehot = onehot.reshape(CLUSTER_CHUNK, cap, M)
             t_sel = tables_flat[jnp.maximum(qgrid_k, 0)]
@@ -297,12 +300,15 @@ def _bucket_scan_round(probe_sub, tables_flat, list_codes, list_ids,
             vals, idx = pass1_topk(-est, r, method)   # (CH, qc, r)
             cand_ids = jnp.take_along_axis(
                 jnp.broadcast_to(ids_k[:, None, :], est.shape), idx, axis=2)
-            return -vals, cand_ids
+            flat_pos = (jnp.minimum(cids_k, C - 1)[:, None, None] * cap
+                        + idx)
+            return -vals, cand_ids, flat_pos
 
-        cand_vals, cand_ids = jax.lax.map(
-            scan_chunk, (codes_g, ids_g, qgrid_g))    # (nc, CH, qc, r)
+        cand_vals, cand_ids, cand_pos = jax.lax.map(
+            scan_chunk, (codes_g, ids_g, qgrid_g, cids_g))
         cand_vals = cand_vals.reshape(C_pad * qc, r)
         cand_ids = cand_ids.reshape(C_pad * qc, r)
+        cand_pos = cand_pos.reshape(C_pad * qc, r)
 
     sl = jnp.minimum(slot_orig, qc - 1)
     valid_pair = slot_orig < qc
@@ -312,10 +318,12 @@ def _bucket_scan_round(probe_sub, tables_flat, list_codes, list_ids,
     pair_idx = probe_sub * qc + sl                    # (Q, Ps)
     my_vals = cand_vals[pair_idx]                     # (Q, Ps, r)
     my_ids = cand_ids[pair_idx]
+    my_pos = cand_pos[pair_idx]
     my_vals = jnp.where(valid_pair[:, :, None], my_vals, jnp.inf)
     my_ids = jnp.where(valid_pair[:, :, None], my_ids, -1)
+    my_pos = jnp.where(valid_pair[:, :, None], my_pos, 0)
     dropped = jnp.sum((slot >= qc) & (sorted_c < C))
-    return my_vals, my_ids, dropped
+    return my_vals, my_ids, my_pos, dropped
 
 
 @partial(jax.jit, static_argnames=("dpb", "metric", "k", "n_probes",
@@ -363,11 +371,11 @@ def _ivf_query(q, center_blocks, R, active_centers, list_codes, list_ids,
 
     # -- 2-3. scan rounds
     qc0 = max(8, -(-5 * Q // (2 * C)) // 8 * 8 + 8)
-    v0, i0, drop0 = _bucket_scan_round(
+    v0, i0, _, drop0 = _bucket_scan_round(
         probe_sel[:, :1], tables_flat, list_codes, list_ids, list_counts,
         qc=qc0, r=r, method=method, scan_impl=scan_impl)
     if P > 1:
-        v1, i1, drop1 = _bucket_scan_round(
+        v1, i1, _, drop1 = _bucket_scan_round(
             probe_sel[:, 1:], tables_flat, list_codes, list_ids,
             list_counts, qc=qc, r=r_tail, method=method,
             scan_impl=scan_impl)

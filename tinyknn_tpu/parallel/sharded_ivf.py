@@ -34,11 +34,10 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import PartitionSpec as P
 
-from ..models.ivf import IVF
+from ..models.ivf import IVF, _bucket_scan_round
+from ..models.fast_pq import _resolve_method
 from ..ops.topk import dedup_candidates
 from .mesh import make_mesh, replicate, shard_on_axis0
-
-CLUSTER_CHUNK = 8
 
 
 class ShardedIVF(IVF):
@@ -65,12 +64,14 @@ class ShardedIVF(IVF):
         codes = jnp.pad(self.list_codes, ((0, C_pad - C), (0, 0), (0, 0)))
         ids = jnp.pad(self.list_ids, ((0, C_pad - C), (0, 0)),
                       constant_values=-1)
+        counts = jnp.pad(self.list_counts, (0, C_pad - C))
         vecs = jax.jit(lambda d, i: d[jnp.maximum(i, 0)])(self.data, ids)
         centers = jnp.pad(self.active_centers, ((0, C_pad - C), (0, 0)),
                           # padding centers sit far away: never probed
                           constant_values=1e9)
-        self.list_codes, self.list_ids, self.list_vecs = shard_on_axis0(
-            self.mesh, codes, ids, vecs, axis=self.axis)
+        (self.list_codes, self.list_ids, self.list_counts,
+         self.list_vecs) = shard_on_axis0(
+            self.mesh, codes, ids, counts, vecs, axis=self.axis)
         self.active_centers = replicate(self.mesh, centers)
         self._n_active_real = C
         return self
@@ -85,55 +86,67 @@ class ShardedIVF(IVF):
         cap = self.list_codes.shape[1]
         if pass_1 is None:
             pass_1 = (n_probes + 1) * k + 1
-        # deep per-pair budget (the per-shard scan splits the cost
-        # across devices; see models/ivf.py for the depth rationale)
+        # same deep/shallow budgets as the single-chip path
         r = min(pass_1, cap)
-        pass_1 = min(pass_1, n_probes * r)
+        r_tail = min(pass_1, cap, max(3 * k, 16))
+        pass_1 = min(pass_1, r + (n_probes - 1) * r_tail)
         n_dev = self.mesh.devices.size
         C_pad = self.list_codes.shape[0]
         qc = self.queries_per_cluster or max(
-            8, 8 * ((4 * q.shape[0] * n_probes * n_dev // max(C_pad, 1)) // 8 + 1))
+            8, 8 * ((5 * q.shape[0] * n_probes * n_dev
+                     // (2 * max(C_pad, 1))) // 8 + 1))
+        method = _resolve_method(self.pass1_method)
+        scan_impl = self.scan_impl
+        if scan_impl == "auto":
+            est_bytes = max(qc, 8) * cap * 4 + cap * self.list_codes.shape[2] * 17
+            scan_impl = ("fused" if jax.default_backend() == "tpu"
+                         and est_bytes < 10 * 2**20 else "xla")
 
         dtable = self.pq._table(q, signed=True)
         qj = replicate(self.mesh, jnp.asarray(q))
         tables = replicate(self.mesh, dtable.qt.tables)
         out = _sharded_query(
             qj, tables, self.active_centers, self.list_codes,
-            self.list_ids, self.list_vecs, mesh=self.mesh, axis=self.axis,
+            self.list_ids, self.list_counts, self.list_vecs,
+            mesh=self.mesh, axis=self.axis,
             metric=self.metric, k=k, n_probes=n_probes, pass_1=pass_1,
-            r=r, qc=qc)
+            r=r, r_tail=r_tail, qc=qc, method=method, scan_impl=scan_impl)
         return out[0] if single else out
 
 
 @partial(jax.jit,
          static_argnames=("mesh", "axis", "metric", "k", "n_probes",
-                          "pass_1", "r", "qc"))
-def _sharded_query(q, tables, centers, list_codes, list_ids, list_vecs,
-                   *, mesh, axis, metric, k, n_probes, pass_1, r, qc):
+                          "pass_1", "r", "r_tail", "qc", "method",
+                          "scan_impl"))
+def _sharded_query(q, tables, centers, list_codes, list_ids, list_counts,
+                   list_vecs, *, mesh, axis, metric, k, n_probes, pass_1,
+                   r, r_tail, qc, method, scan_impl):
     spec_s = P(axis)
     spec_r = P()
 
     step = partial(_shard_local_query, axis=axis, metric=metric, k=k,
-                   n_probes=n_probes, pass_1=pass_1, r=r, qc=qc)
+                   n_probes=n_probes, pass_1=pass_1, r=r, r_tail=r_tail,
+                   qc=qc, method=method, scan_impl=scan_impl)
     # check_vma=False: outputs are replicated by construction (they come
     # out of an all_gather + identical replicated math), which the
     # varying-axes checker cannot infer statically.
     ids, d2 = jax.shard_map(
         step, mesh=mesh,
-        in_specs=(spec_r, spec_r, spec_r, spec_s, spec_s, spec_s),
+        in_specs=(spec_r, spec_r, spec_r, spec_s, spec_s, spec_s, spec_s),
         out_specs=(spec_r, spec_r), check_vma=False,
-    )(q, tables, centers, list_codes, list_ids, list_vecs)
+    )(q, tables, centers, list_codes, list_ids, list_counts, list_vecs)
     return ids
 
 
-def _shard_local_query(q, tables, centers, codes_l, ids_l, vecs_l, *,
-                       axis, metric, k, n_probes, pass_1, r, qc):
-    """Per-shard body: local bucketed scan + local rescore + gather-merge."""
+def _shard_local_query(q, tables, centers, codes_l, ids_l, counts_l,
+                       vecs_l, *, axis, metric, k, n_probes, pass_1, r,
+                       r_tail, qc, method, scan_impl):
+    """Per-shard body: local two-round bucketed scan (shared with the
+    single-chip path, models/ivf.py) + local rescore + gather-merge."""
     Q, d = q.shape
     Cl, cap, B = codes_l.shape
     P_ = n_probes
     me = jax.lax.axis_index(axis)
-    n_dev = jax.lax.axis_size(axis)
 
     if metric == "angular":
         q = q / jnp.maximum(jnp.linalg.norm(q, axis=1, keepdims=True), 1e-12)
@@ -147,92 +160,48 @@ def _shard_local_query(q, tables, centers, codes_l, ids_l, vecs_l, *,
     _, probe_sel = jax.lax.top_k(-d2c, P_)           # (Q, P) global ids
 
     # ---- map to local cluster index; non-local pairs -> sentinel Cl
+    # (the scan round drops sentinel pairs; their gathered rows are
+    # masked below via is_local)
     local_c = probe_sel - me * Cl
     is_local = (local_c >= 0) & (local_c < Cl)
-    pairs = jnp.where(is_local, local_c, Cl).reshape(-1)
-    q_of_pair = jnp.arange(Q * P_, dtype=jnp.int32) // P_
-    order = jnp.argsort(pairs, stable=True)
-    sorted_c = pairs[order]
-    sorted_q = q_of_pair[order]
-    pos = jnp.arange(Q * P_, dtype=jnp.int32)
-    is_start = jnp.concatenate(
-        [jnp.ones((1,), bool), sorted_c[1:] != sorted_c[:-1]])
-    run_start = jax.lax.cummax(jnp.where(is_start, pos, 0), axis=0)
-    slot = pos - run_start
-    in_cap = (slot < qc) & (sorted_c < Cl)
-    qgrid = jnp.full((Cl, qc), -1, jnp.int32)
-    qgrid = qgrid.at[jnp.where(in_cap, sorted_c, Cl),
-                     jnp.minimum(slot, qc - 1)].set(sorted_q, mode="drop")
-    slot_orig = jnp.zeros((Q * P_,), jnp.int32).at[order].set(slot)
-    slot_orig = slot_orig.reshape(Q, P_)
+    probes_local = jnp.where(is_local, local_c, Cl)
 
-    # ---- local bucketed scan, collecting (val, global id, flat position)
     M = B * 16
     tables_flat = tables.reshape(Q, M)
-    n_chunks = -(-Cl // CLUSTER_CHUNK)
-    Cl_pad = n_chunks * CLUSTER_CHUNK
-    codes_g = jnp.pad(codes_l, ((0, Cl_pad - Cl), (0, 0), (0, 0)))
-    ids_g = jnp.pad(ids_l, ((0, Cl_pad - Cl), (0, 0)), constant_values=-1)
-    qgrid_g = jnp.pad(qgrid, ((0, Cl_pad - Cl), (0, 0)), constant_values=-1)
+    if scan_impl == "fused":
+        from ..ops.kernels import permute_tables_tiled
+        tables_flat = permute_tables_tiled(tables_flat, B)
 
-    def scan_chunk(i, carry):
-        vals_acc, ids_acc, pos_acc = carry
-        codes_k = jax.lax.dynamic_slice_in_dim(codes_g, i * CLUSTER_CHUNK,
-                                               CLUSTER_CHUNK, 0)
-        ids_k = jax.lax.dynamic_slice_in_dim(ids_g, i * CLUSTER_CHUNK,
-                                             CLUSTER_CHUNK, 0)
-        qgrid_k = jax.lax.dynamic_slice_in_dim(qgrid_g, i * CLUSTER_CHUNK,
-                                               CLUSTER_CHUNK, 0)
-        onehot = jax.nn.one_hot(codes_k, 16, dtype=jnp.int8)
-        onehot = onehot.reshape(CLUSTER_CHUNK, cap, M)
-        t_sel = tables_flat[jnp.maximum(qgrid_k, 0)]
-        est = jax.lax.dot_general(
-            t_sel, onehot, (((2,), (2,)), ((0,), (0,))),
-            preferred_element_type=jnp.int32).astype(jnp.float32)
-        est = jnp.where(ids_k[:, None, :] >= 0, est, jnp.inf)
-        vals, idx = jax.lax.top_k(-est, r)            # (CH, qc, r)
-        cand_ids = jnp.take_along_axis(
-            jnp.broadcast_to(ids_k[:, None, :], est.shape), idx, axis=2)
-        # flat position into the local (Cl_pad * cap) vector grid
-        crange = (i * CLUSTER_CHUNK
-                  + jax.lax.broadcasted_iota(jnp.int32,
-                                             (CLUSTER_CHUNK, qc, r), 0))
-        flat_pos = crange * cap + idx
-        vals_acc = jax.lax.dynamic_update_slice_in_dim(
-            vals_acc, -vals, i * CLUSTER_CHUNK, 0)
-        ids_acc = jax.lax.dynamic_update_slice_in_dim(
-            ids_acc, cand_ids, i * CLUSTER_CHUNK, 0)
-        pos_acc = jax.lax.dynamic_update_slice_in_dim(
-            pos_acc, flat_pos, i * CLUSTER_CHUNK, 0)
-        return vals_acc, ids_acc, pos_acc
+    qc0 = max(8, -(-5 * Q // (2 * Cl)) // 8 * 8 + 8)
+    v0, i0, p0, _ = _bucket_scan_round(
+        probes_local[:, :1], tables_flat, codes_l, ids_l, counts_l,
+        qc=qc0, r=r, method=method, scan_impl=scan_impl)
+    if P_ > 1:
+        v1, i1, p1, _ = _bucket_scan_round(
+            probes_local[:, 1:], tables_flat, codes_l, ids_l, counts_l,
+            qc=qc, r=r_tail, method=method, scan_impl=scan_impl)
+        ok0 = is_local[:, :1, None]
+        ok1 = is_local[:, 1:, None]
+        flat_vals = jnp.concatenate(
+            [jnp.where(ok0, v0, jnp.inf).reshape(Q, -1),
+             jnp.where(ok1, v1, jnp.inf).reshape(Q, -1)], axis=1)
+        flat_ids = jnp.concatenate(
+            [jnp.where(ok0, i0, -1).reshape(Q, -1),
+             jnp.where(ok1, i1, -1).reshape(Q, -1)], axis=1)
+        flat_pos = jnp.concatenate(
+            [jnp.where(ok0, p0, 0).reshape(Q, -1),
+             jnp.where(ok1, p1, 0).reshape(Q, -1)], axis=1)
+    else:
+        ok0 = is_local[:, :1, None]
+        flat_vals = jnp.where(ok0, v0, jnp.inf).reshape(Q, -1)
+        flat_ids = jnp.where(ok0, i0, -1).reshape(Q, -1)
+        flat_pos = jnp.where(ok0, p0, 0).reshape(Q, -1)
 
-    init = jax.lax.pcast(
-        (jnp.zeros((Cl_pad, qc, r), jnp.float32),
-         jnp.zeros((Cl_pad, qc, r), jnp.int32),
-         jnp.zeros((Cl_pad, qc, r), jnp.int32)),
-        (axis,), to="varying")
-    cand_vals, cand_ids, cand_pos = jax.lax.fori_loop(
-        0, n_chunks, scan_chunk, init)
-
-    # ---- gather-back per query (flattened single-index gather; the
-    # two-index form faults the TPU runtime at large shapes)
-    lc = jnp.clip(local_c, 0, Cl_pad - 1)
-    sl = jnp.minimum(slot_orig, qc - 1)
-    ok = is_local & (slot_orig < qc)
-    pair_idx = lc * qc + sl
-    my_vals = jnp.where(ok[:, :, None],
-                        cand_vals.reshape(Cl_pad * qc, r)[pair_idx], jnp.inf)
-    my_ids = jnp.where(ok[:, :, None],
-                       cand_ids.reshape(Cl_pad * qc, r)[pair_idx], -1)
-    my_pos = jnp.where(ok[:, :, None],
-                       cand_pos.reshape(Cl_pad * qc, r)[pair_idx], 0)
-    flat_vals = my_vals.reshape(Q, P_ * r)
-    flat_ids = my_ids.reshape(Q, P_ * r)
-    flat_pos = my_pos.reshape(Q, P_ * r)
     flat_vals = jnp.where(flat_ids >= 0, flat_vals, jnp.inf)
     # local dedup of build-spill duplicates
     dd_ids, dd_vals = dedup_candidates(flat_ids, flat_vals)
-    _, top_pos = jax.lax.top_k(-dd_vals, pass_1)
+    p1_eff = min(pass_1, dd_ids.shape[1])
+    _, top_pos = jax.lax.top_k(-dd_vals, p1_eff)
     cand = jnp.take_along_axis(dd_ids, top_pos, axis=1)
     cand_p = jnp.take_along_axis(flat_pos, top_pos, axis=1)
 
