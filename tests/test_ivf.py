@@ -156,3 +156,24 @@ def test_fused_scan_matches_xla():
         da = np.sort(((X[a[i]] - qs[i]) ** 2).sum(-1))
         db = np.sort(((X[b[i]] - qs[i]) ** 2).sum(-1))
         np.testing.assert_allclose(da, db, rtol=1e-5)
+
+
+def test_fused_segmented_approx_recall():
+    """pass1_method='approx' + fused scan triggers the segmented
+    extraction; recall must stay within tolerance of exact."""
+    np.random.seed(16)
+    n, d, nq, k = 2000, 16, 40, 10
+    X = np.random.randn(n, d).astype(np.float32)
+    qs = np.random.randn(nq, d).astype(np.float32)
+    trus = np.asarray(knn_brute(qs, X, k=k))
+
+    def recall(**kw):
+        ivf = IVF("euclidean", 40, FastPQ(2, seed=4), **kw)
+        ivf.fit(X).build(X, n_probes=2)
+        g = np.asarray(ivf.query(qs, k=k, n_probes=6, mode="bucket"))
+        return np.mean([len(set(a.tolist()) & set(t.tolist())) / k
+                        for a, t in zip(g, trus)])
+
+    r_exact = recall(scan_impl="fused", pass1_method="exact")
+    r_seg = recall(scan_impl="fused", pass1_method="approx")
+    assert r_seg >= r_exact - 0.03, (r_exact, r_seg)

@@ -259,8 +259,12 @@ def _bucket_scan_round(probe_sub, tables_flat, list_codes, list_ids,
         from ..ops.kernels import scan_select_pallas
         # tables already in the kernel's tiled layout (see _ivf_query)
         t_sel = tables_flat[jnp.maximum(qgrid, 0)]    # (C, qc, M) int8
+        # segmented (approx) extraction when there is comfortable slack
+        # between r and the segment count; exact otherwise
+        segments = 8 if (method == "approx" and cap % 8 == 0
+                         and cap // 8 >= 4 * r) else 1
         vals, pos = scan_select_pallas(
-            t_sel, list_codes, list_counts, r,
+            t_sel, list_codes, list_counts, r, segments=segments,
             interpret=jax.default_backend() != "tpu")
         cand_vals = jnp.swapaxes(vals, 1, 2)          # (C, qc, r)
         pos = jnp.swapaxes(pos, 1, 2)

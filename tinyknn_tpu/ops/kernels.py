@@ -111,7 +111,7 @@ register()
 # --------------------------------------------------------------------
 
 def _scan_select_kernel(counts_ref, tsel_ref, codes_ref, vals_ref, idx_ref,
-                        *, r: int):
+                        *, r: int, segments: int = 1):
     tsel = tsel_ref[0]                           # (qc, M) int8
     codes = codes_ref[0]                         # (cap, B) uint8
     count = counts_ref[pl.program_id(0)]         # valid prefix length
@@ -119,7 +119,10 @@ def _scan_select_kernel(counts_ref, tsel_ref, codes_ref, vals_ref, idx_ref,
     M = B * 16
     qc = tsel.shape[0]
     # tiled one-hot (column j <-> center j // B of block j % B); tables
-    # were permuted to match outside (same layout as _estimate_kernel)
+    # were permuted to match outside (same layout as _estimate_kernel).
+    # int32 compare (Mosaic on v5e only supports 32-bit comparisons);
+    # the 8MB intermediate at production shapes needs the raised
+    # vmem_limit_bytes below.
     codes_tiled = jnp.concatenate([codes.astype(jnp.int32)] * 16, axis=1)
     center_of_col = jax.lax.broadcasted_iota(jnp.int32, (cap, M), 1) // B
     onehot = (codes_tiled == center_of_col).astype(jnp.int8)
@@ -131,20 +134,51 @@ def _scan_select_kernel(counts_ref, tsel_ref, codes_ref, vals_ref, idx_ref,
     col = jax.lax.broadcasted_iota(jnp.int32, (qc, cap), 1)
     est = jnp.where(col < count, est, big)       # mask list padding
 
-    def body(j, est):
-        m = jnp.min(est, axis=1)                             # (qc,)
-        am = jnp.min(jnp.where(est == m[:, None], col, cap), axis=1)
+    if segments == 1:
+        # exact top-r: iterative min-extraction over the full width
+        def body(j, est):
+            m = jnp.min(est, axis=1)                         # (qc,)
+            am = jnp.min(jnp.where(est == m[:, None], col, cap), axis=1)
+            vals_ref[0, j, :] = m
+            idx_ref[0, j, :] = am
+            est = jnp.where(col == am[:, None], big, est)
+            return est
+
+        jax.lax.fori_loop(0, r, body, est)
+        return
+
+    # Segmented (approximate) top-r: fold the width into `segments`
+    # contiguous slices, keep each segment's min + argmin, then extract
+    # r segment-minima — at most one candidate per segment, the same
+    # relaxation approx_max_k makes, at ~(cap/segments)x less VPU work
+    # per extraction. Downstream exact rescore absorbs the difference.
+    S = cap // segments                          # segment width
+    seg_min = est[:, :S]
+    seg_col = jax.lax.broadcasted_iota(jnp.int32, (qc, S), 1)
+    seg_arg = seg_col
+    for s in range(1, segments):
+        sl = est[:, s * S:(s + 1) * S]
+        take = sl < seg_min
+        seg_arg = jnp.where(take, seg_col + s * S, seg_arg)
+        seg_min = jnp.where(take, sl, seg_min)
+
+    def body(j, carry):
+        seg_min, seg_arg = carry
+        m = jnp.min(seg_min, axis=1)
+        sm = jnp.min(jnp.where(seg_min == m[:, None], seg_col, S), axis=1)
+        winner_col = jnp.sum(
+            jnp.where(seg_col == sm[:, None], seg_arg, 0), axis=1)
         vals_ref[0, j, :] = m
-        idx_ref[0, j, :] = am
-        est = jnp.where(col == am[:, None], big, est)
-        return est
+        idx_ref[0, j, :] = jnp.where(m < big, winner_col, cap)
+        seg_min = jnp.where(seg_col == sm[:, None], big, seg_min)
+        return seg_min, seg_arg
 
-    jax.lax.fori_loop(0, r, body, est)
+    jax.lax.fori_loop(0, r, body, (seg_min, seg_arg))
 
 
-@partial(jax.jit, static_argnames=("r", "interpret"))
+@partial(jax.jit, static_argnames=("r", "segments", "interpret"))
 def scan_select_pallas(tables_sel, codes, counts, r: int,
-                       interpret: bool = False):
+                       segments: int = 1, interpret: bool = False):
     """Fused per-cluster scan + top-r selection.
 
     tables_sel: int8[C, qc, M] — each cluster's bucketed query tables
@@ -159,6 +193,7 @@ def scan_select_pallas(tables_sel, codes, counts, r: int,
     C, qc, M = tables_sel.shape
     _, cap, B = codes.shape
     assert M == 16 * B
+    assert cap % segments == 0
     counts1 = counts.reshape(C).astype(jnp.int32)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -177,12 +212,14 @@ def scan_select_pallas(tables_sel, codes, counts, r: int,
         ],
     )
     vals, pos = pl.pallas_call(
-        partial(_scan_select_kernel, r=r),
+        partial(_scan_select_kernel, r=r, segments=segments),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((C, r, qc), jnp.float32),
             jax.ShapeDtypeStruct((C, r, qc), jnp.int32),
         ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 2**20),
         interpret=interpret,
     )(counts1, tables_sel, codes)
     return vals, pos
