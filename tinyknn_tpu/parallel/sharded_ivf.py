@@ -100,7 +100,7 @@ class ShardedIVF(IVF):
         if scan_impl == "auto":
             est_bytes = max(qc, 8) * cap * 4 + cap * self.list_codes.shape[2] * 17
             scan_impl = ("fused" if jax.default_backend() == "tpu"
-                         and est_bytes < 10 * 2**20 else "xla")
+                         and est_bytes < 40 * 2**20 else "xla")
 
         dtable = self.pq._table(q, signed=True)
         qj = replicate(self.mesh, jnp.asarray(q))
