@@ -177,3 +177,20 @@ def test_fused_segmented_approx_recall():
     r_exact = recall(scan_impl="fused", pass1_method="exact")
     r_seg = recall(scan_impl="fused", pass1_method="approx")
     assert r_seg >= r_exact - 0.03, (r_exact, r_seg)
+
+
+def test_tune_n_probes():
+    from tinyknn_tpu.models.ivf import tune_n_probes
+    np.random.seed(17)
+    n, d, nq, k = 1500, 12, 30, 10
+    X = np.random.randn(n, d).astype(np.float32)
+    qs = np.random.randn(nq, d).astype(np.float32)
+    trus = np.asarray(knn_brute(qs, X, k=k))
+    ivf = IVF("euclidean", 38, FastPQ(2))
+    ivf.fit(X).build(X, n_probes=4)
+    p, recall, curve = tune_n_probes(ivf, qs, trus, k=k, target_recall=0.8)
+    assert recall >= 0.8
+    # minimality: the previous sweep point must be below target
+    keys = sorted(curve)
+    if keys.index(p) > 0:
+        assert curve[keys[keys.index(p) - 1]] < 0.8

@@ -50,6 +50,11 @@ class TransformedData(NamedTuple):
     size: int
     codes: jax.Array
 
+    @property
+    def packed(self):
+        """Reference field-name alias (tinyknn/fast_pq.py:30)."""
+        return self.codes
+
 
 class FastPQ:
     """4-bit product quantizer (reference: tinyknn/fast_pq.py:33-252)."""
