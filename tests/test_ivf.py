@@ -194,3 +194,24 @@ def test_tune_n_probes():
     keys = sorted(curve)
     if keys.index(p) > 0:
         assert curve[keys[keys.index(p) - 1]] < 0.8
+
+
+def test_skewed_query_batch():
+    """Queries concentrated near one cluster must not lose their nearest
+    probe to bucket-capacity overflow at moderate batch sizes."""
+    np.random.seed(18)
+    n, d = 2000, 12
+    X = np.random.randn(n, d).astype(np.float32)
+    # every query near the same data region
+    base = X[7]
+    qs = (base + 0.05 * np.random.randn(30, d)).astype(np.float32)
+    trus = np.asarray(knn_brute(qs, X, k=5))
+    ivf = IVF("euclidean", 44, FastPQ(2))
+    ivf.fit(X).build(X, n_probes=2)
+    out, stats = ivf.query(qs, k=5, n_probes=4, mode="bucket",
+                           with_stats=True)
+    assert stats["dropped_probe_pairs"] == 0, stats
+    g = np.asarray(out)
+    recall = np.mean([len(set(a.tolist()) & set(t.tolist())) / 5
+                      for a, t in zip(g, trus)])
+    assert recall > 0.5, recall

@@ -195,13 +195,31 @@ class IVF:
                 k=k, n_probes=n_probes, pass_1=pass_1)
             dropped = jnp.int32(0)
         else:
-            out, dropped = _ivf_query(
-                jnp.asarray(q), self.pq.center_blocks, self.pq.R,
-                self.active_centers, self.list_codes, self.list_ids,
-                self.list_counts, self.data,
-                dpb=self.pq.dims_per_block, metric=self.metric,
-                k=k, n_probes=n_probes, pass_1=pass_1, r=r, r_tail=r_tail,
-                qc=qc, method=method, scan_impl=scan_impl)
+            # Drop-aware escalation: a skewed query batch (everyone near
+            # the same clusters) can overflow the bucket capacity, and a
+            # retry at 4x capacity is cheap relative to losing probes.
+            # The dropped-pair readback costs one host round trip, so it
+            # runs by default only in the small-batch regime where skew
+            # is likely and the sync is amortized poorly anyway; large
+            # batches dilute skew statistically — audit them with
+            # with_stats=True or pin queries_per_cluster.
+            check_drops = (not self.queries_per_cluster
+                           and (q.shape[0] * n_probes <= 4096
+                                or with_stats))
+            attempts = 3 if check_drops else 1
+            for _attempt in range(attempts):
+                out, dropped = _ivf_query(
+                    jnp.asarray(q), self.pq.center_blocks, self.pq.R,
+                    self.active_centers, self.list_codes, self.list_ids,
+                    self.list_counts, self.data,
+                    dpb=self.pq.dims_per_block, metric=self.metric,
+                    k=k, n_probes=n_probes, pass_1=pass_1, r=r,
+                    r_tail=r_tail, qc=qc, method=method,
+                    scan_impl=scan_impl)
+                if _attempt + 1 == attempts or int(dropped) == 0:
+                    break
+                qc = min(round_up(4 * qc, 8),
+                         round_up(q.shape[0] * n_probes, 8))
         out = out[0] if single else out
         if with_stats:
             return out, {
@@ -374,7 +392,11 @@ def _ivf_query(q, center_blocks, R, active_centers, list_codes, list_ids,
     _, probe_sel = jax.lax.top_k(-d2c, P)            # (Q, P) int32
 
     # -- 2-3. scan rounds
-    qc0 = max(8, -(-5 * Q // (2 * C)) // 8 * 8 + 8)
+    # qc floors are sized for ~2.5x the mean per-cluster load; heavily
+    # skewed query batches (everyone near one cluster) can exceed them —
+    # dropped pairs are reported via query(with_stats=True), and
+    # queries_per_cluster overrides the capacity.
+    qc0 = max(32, -(-5 * Q // (2 * C)) // 8 * 8 + 8)
     v0, i0, _, drop0 = _bucket_scan_round(
         probe_sel[:, :1], tables_flat, list_codes, list_ids, list_counts,
         qc=qc0, r=r, method=method, scan_impl=scan_impl)

@@ -172,7 +172,7 @@ def _shard_local_query(q, tables, centers, codes_l, ids_l, counts_l,
         from ..ops.kernels import permute_tables_tiled
         tables_flat = permute_tables_tiled(tables_flat, B)
 
-    qc0 = max(8, -(-5 * Q // (2 * Cl)) // 8 * 8 + 8)
+    qc0 = max(32, -(-5 * Q // (2 * Cl)) // 8 * 8 + 8)
     v0, i0, p0, _ = _bucket_scan_round(
         probes_local[:, :1], tables_flat, codes_l, ids_l, counts_l,
         qc=qc0, r=r, method=method, scan_impl=scan_impl)
