@@ -80,9 +80,11 @@ def main():
 
     log("warmup/compile...")
     np.asarray(sweep(qb))
-    t0 = time.time()
-    np.asarray(sweep(qb))
-    elapsed = time.time() - t0
+    elapsed = float("inf")
+    for _ in range(3):  # best-of-3: remote-relay jitter otherwise leaks in
+        t0 = time.time()
+        np.asarray(sweep(qb))
+        elapsed = min(elapsed, time.time() - t0)
     qps = reps * nq / elapsed
     log(f"full-scan tables+estimate: {elapsed/reps*1000:.2f}ms per {nq} "
         f"queries -> {qps:.0f} QPS")
@@ -124,9 +126,11 @@ def main():
         return jax.lax.map(body, qbatches)
 
     np.asarray(sweep_top(qb))
-    t0 = time.time()
-    np.asarray(sweep_top(qb))
-    el2 = time.time() - t0
+    el2 = float("inf")
+    for _ in range(3):
+        t0 = time.time()
+        np.asarray(sweep_top(qb))
+        el2 = min(el2, time.time() - t0)
     log(f"fused two-pass top-10 search: {el2/reps*1000:.2f}ms per {nq} "
         f"-> {reps*nq/el2:.0f} QPS")
     top = np.asarray(pq.search(qs, data, X, k=10, method="approx"))
