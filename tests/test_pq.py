@@ -127,3 +127,21 @@ def test_rotation_used_when_d_not_100():
     pq2 = FastPQ(2, rotate_dim=16)
     pq2.fit(np.random.randn(64, 100).astype(np.float32))
     assert pq2.R is None
+
+
+@pytest.mark.parametrize("d, dpb", [(5, 4), (17, 4), (7, 1), (12, 3)])
+def test_odd_dims_and_blocks(d, dpb):
+    """Dimensions that don't divide the block size get zero-padded;
+    search must still work end-to-end."""
+    n, nq, k = 120, 10, 5
+    X = np.random.randn(n, d).astype(np.float32)
+    qs = np.random.randn(nq, d).astype(np.float32)
+    pq = FastPQ(dims_per_block=dpb, rotate_dim=None)
+    data = pq.fit_transform(X)
+    top = np.asarray(pq.search(qs, data, X, k=k, method="exact"))
+    assert top.shape == (nq, k)
+    assert np.all((0 <= top) & (top < n))
+    # quality sanity: better than random
+    trus = np.asarray(knn_brute(qs, X, k=1))[:, 0]
+    recall = np.mean([t in row for t, row in zip(trus, top)])
+    assert recall > 0.5, recall
