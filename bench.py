@@ -55,11 +55,11 @@ def main():
     # ranking on iid data and contradicts README.md:77-79).
     pq = tk.FastPQ(dims_per_block=dpb, rotate_dim=None)
     data = pq.fit_transform(X)
-    jax.block_until_ready(data.codes)
+    jax.block_until_ready(data.packed)
     fit_time = time.time() - t0
     log(f"fit+transform: {fit_time:.1f}s (includes jit compile)")
 
-    codes = data.codes
+    codes = data.packed  # nibble-packed storage; scans unpack on-chip
     cb = pq.center_blocks
     backend = pq.backend
 
@@ -68,7 +68,7 @@ def main():
     def sweep(qbatches):
         def body(q):
             qt = _build_tables(q, cb, None, dpb, True)
-            est = estimate_scan(codes, qt.tables, backend)
+            est = estimate_scan(codes, qt.tables, backend, packed=True)
             # tiny checksum keeps every batch live without materializing
             # (R, nq, n) on the host
             return est[0, 0] + est[nq - 1, n - 1]
@@ -115,7 +115,7 @@ def main():
     def sweep_top(qbatches):
         def body(q):
             qt = _build_tables(q, cb, None, dpb, True)
-            est = estimate_scan(codes, qt.tables, backend)
+            est = estimate_scan(codes, qt.tables, backend, packed=True)
             _, cand = pass1_topk(-est.astype(jnp.float32), 30, "approx")
             g = Xj[cand]
             diff = g - q[:, None, :]

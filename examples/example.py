@@ -56,7 +56,7 @@ with utils.timer(True, "Fitting PQ"):
 
 with utils.timer(True, "Transforming data"):
     data = pq.transform(X)
-    utils.block(data.codes)
+    utils.block(data.packed)
 
 print("Querying (batched: one dispatch for all queries)")
 # warm up / compile

@@ -9,6 +9,7 @@ Reference analogue: setup.py compiling the two Cython SIMD modules
 (reference: setup.py:16-49).
 """
 
+import hashlib
 import subprocess
 import sys
 from pathlib import Path
@@ -23,7 +24,11 @@ class BuildWithNative(build_py):
         root = Path(__file__).parent
         src = root / "native" / "tinyknn_native.cpp"
         if src.exists():
-            dst = Path(self.build_lib) / "tinyknn_tpu" / "_tinyknn_native.so"
+            # Content-hashed filename (must match native._so_path): a
+            # changed source always builds to a fresh path.
+            h = hashlib.sha256(src.read_bytes()).hexdigest()[:12]
+            dst = (Path(self.build_lib) / "tinyknn_tpu"
+                   / f"_tinyknn_native-{h}.so")
             for cc in ("g++", "c++", "clang++"):
                 try:
                     subprocess.run(

@@ -35,3 +35,23 @@ def test_ivf_roundtrip(tmp_path):
     a = np.asarray(ivf.query(qs, k=5, n_probes=3))
     b = np.asarray(ivf2.query(qs, k=5, n_probes=3))
     np.testing.assert_array_equal(a, b)
+
+
+def test_ivf_roundtrip_preserves_tuning(tmp_path):
+    """Constructor knobs must survive save/load (a tuned index used to
+    reload with hardcoded defaults)."""
+    X = np.random.randn(200, 12).astype(np.float32)
+    ivf = IVF("euclidean", 8,
+              FastPQ(2, kmeans_iters=7, kmeans_n_init=1),
+              kmeans_iters=11, queries_per_cluster=48,
+              pass1_method="exact", scan_impl="xla")
+    ivf.fit(X).build(X, n_probes=2)
+    path = tmp_path / "ivf_tuned.npz"
+    save_ivf(path, ivf)
+    ivf2 = load_ivf(path)
+    assert ivf2.kmeans_iters == 11
+    assert ivf2.queries_per_cluster == 48
+    assert ivf2.pass1_method == "exact"
+    assert ivf2.scan_impl == "xla"
+    assert ivf2.pq.kmeans_iters == 7
+    assert ivf2.pq.kmeans_n_init == 1

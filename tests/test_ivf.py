@@ -215,3 +215,28 @@ def test_skewed_query_batch():
     recall = np.mean([len(set(a.tolist()) & set(t.tolist())) / 5
                       for a, t in zip(g, trus)])
     assert recall > 0.5, recall
+
+
+def test_heavily_skewed_batch_recall():
+    """A large batch of near-duplicate queries (everyone's nearest
+    cluster is the same list) must match per-query results: the retry
+    ladder escalates the round-0 capacity qc0, ending at a can't-drop
+    cap (regression: qc0 was a fixed formula inside the jit, so retries
+    could never fix round-0 drops and recall collapsed)."""
+    np.random.seed(19)
+    n, d, Q = 3000, 16, 600
+    X = np.random.randn(n, d).astype(np.float32)
+    base = X[42]
+    qs = (base + 0.02 * np.random.randn(Q, d)).astype(np.float32)
+    trus = np.asarray(knn_brute(qs, X, k=10))
+    ivf = IVF("euclidean", 54, FastPQ(2))
+    ivf.fit(X).build(X, n_probes=2)
+    out, stats = ivf.query(qs, k=10, n_probes=2, mode="bucket",
+                           with_stats=True)
+    assert stats["dropped_probe_pairs"] == 0, stats
+    g = np.asarray(out)
+    recall = np.mean([len(set(a.tolist()) & set(t.tolist())) / 10
+                      for a, t in zip(g, trus)])
+    # uniform-batch recall on this config is ~the same; the bug dropped
+    # this to ~0.06
+    assert recall > 0.5, recall

@@ -145,3 +145,15 @@ def test_odd_dims_and_blocks(d, dpb):
     trus = np.asarray(knn_brute(qs, X, k=1))[:, 0]
     recall = np.mean([t in row for t, row in zip(trus, top)])
     assert recall > 0.5, recall
+
+
+def test_transform_empty_returns_transformed_data():
+    """Empty input must still produce a TransformedData (downstream
+    unpacking `true_n, codes = pq.transform(x)` relies on it)."""
+    np.random.seed(10)
+    X = np.random.randn(64, 8).astype(np.float32)
+    pq = FastPQ(2, rotate_dim=None)
+    pq.fit(X)
+    td = pq.transform(np.zeros((0, 8), np.float32))
+    assert td.size == 0
+    assert td.codes.shape[1] == pq.center_blocks.shape[0]

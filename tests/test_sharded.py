@@ -107,3 +107,21 @@ def test_sharded_fastpq_matches_single(mesh):
         overlaps.append(len(set(a[i].tolist()) & set(b[i].tolist())) / k)
     assert np.mean(overlaps) >= 0.85, overlaps
     assert np.all((b >= 0) & (b < n))
+
+
+def test_sharded_query_stats_and_skew(mesh):
+    """Sharded drops are observable (psum across shards) and the retry
+    ladder recovers recall for a skewed near-duplicate batch."""
+    n, d, Q = 1200, 12, 300
+    X = np.random.randn(n, d).astype(np.float32)
+    qs = (X[3] + 0.02 * np.random.randn(Q, d)).astype(np.float32)
+    trus = np.asarray(knn_brute(qs, X, k=5))
+    sivf = ShardedIVF("euclidean", 24, FastPQ(2), mesh=mesh, seed=3)
+    sivf.fit(X).build(X, n_probes=2)
+    out, stats = sivf.query(qs, k=5, n_probes=3, with_stats=True)
+    assert stats["dropped_probe_pairs"] == 0, stats
+    assert stats["total_probe_pairs"] == Q * 3
+    g = np.asarray(out)
+    recall = np.mean([len(set(a.tolist()) & set(t.tolist())) / 5
+                      for a, t in zip(g, trus)])
+    assert recall > 0.5, recall

@@ -17,7 +17,9 @@ import numpy as np
 from .models.fast_pq import FastPQ
 from .models.ivf import IVF
 
-_FORMAT_VERSION = 1
+# v2: list_codes stored nibble-packed (uint8, two 4-bit codes/byte);
+# v1 archives (one code per byte) are packed on load.
+_FORMAT_VERSION = 2
 
 
 def _pq_state(pq: FastPQ) -> dict:
@@ -29,6 +31,8 @@ def _pq_state(pq: FastPQ) -> dict:
             "rotate_dim": pq.rotate_dim,
             "seed": pq.seed,
             "backend": pq.backend,
+            "kmeans_iters": pq.kmeans_iters,
+            "kmeans_n_init": pq.kmeans_n_init,
         }).encode(), dtype=np.uint8),
     }
     if pq.R is not None:
@@ -41,7 +45,9 @@ def _pq_restore(data) -> FastPQ:
     pq = FastPQ(dims_per_block=meta["dims_per_block"],
                 use_kmeans=meta["use_kmeans"],
                 rotate_dim=meta["rotate_dim"], seed=meta["seed"],
-                backend=meta["backend"])
+                backend=meta["backend"],
+                kmeans_iters=meta.get("kmeans_iters", 25),
+                kmeans_n_init=meta.get("kmeans_n_init", 2))
     cb = jnp.asarray(data["pq_center_blocks"])
     pq.center_blocks = cb
     B, _, dpb = cb.shape
@@ -75,6 +81,10 @@ def save_ivf(path, ivf: IVF):
             "metric": ivf.metric,
             "n_clusters": ivf.n_clusters,
             "seed": ivf.seed,
+            "kmeans_iters": ivf.kmeans_iters,
+            "queries_per_cluster": ivf.queries_per_cluster,
+            "pass1_method": ivf.pass1_method,
+            "scan_impl": ivf.scan_impl,
         }).encode(), dtype=np.uint8),
         all_centers=np.asarray(ivf.all_centers),
         active_centers=np.asarray(ivf.active_centers),
@@ -93,14 +103,18 @@ def load_ivf(path) -> IVF:
         ivf.metric = meta["metric"]
         ivf.n_clusters = meta["n_clusters"]
         ivf.seed = meta["seed"]
-        ivf.kmeans_iters = 30
-        ivf.queries_per_cluster = None
-        ivf.pass1_method = "auto"
-        ivf.scan_impl = "auto"
+        ivf.kmeans_iters = meta.get("kmeans_iters", 30)
+        ivf.queries_per_cluster = meta.get("queries_per_cluster")
+        ivf.pass1_method = meta.get("pass1_method", "auto")
+        ivf.scan_impl = meta.get("scan_impl", "auto")
         ivf.pq = pq
         ivf.all_centers = np.asarray(data["all_centers"])
         ivf.active_centers = jnp.asarray(data["active_centers"])
-        ivf.list_codes = jnp.asarray(data["list_codes"])
+        codes = jnp.asarray(data["list_codes"])
+        if int(data["format"]) < 2:  # v1: unpacked, one code per byte
+            from .ops.packing import pack_codes
+            codes = pack_codes(codes)
+        ivf.list_codes = codes
         ivf.list_ids = jnp.asarray(data["list_ids"])
         if "list_counts" in data:
             ivf.list_counts = jnp.asarray(data["list_counts"])

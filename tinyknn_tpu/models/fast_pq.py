@@ -33,6 +33,7 @@ from ..ops.quantization import (
     quantize_tables_signed,
     quantize_tables_unsigned,
 )
+from ..ops.packing import pack_codes
 from ..ops.scan import estimate_scan
 from ..utils.padding import pad2, round_up
 
@@ -41,19 +42,24 @@ BLOCK_PAD = 8     # block-count alignment => one-hot width is a lane multiple
 
 
 class TransformedData(NamedTuple):
-    """Encoded dataset: true row count + padded code matrix.
+    """Encoded dataset: true row count + nibble-packed code matrix.
 
     Mirrors the reference's ``TransformedData(size, packed)``
-    (tinyknn/fast_pq.py:30); ``codes`` is uint8[n_pad, n_blocks] with
-    values 0..15, zero-padded rows beyond ``size``.
+    (tinyknn/fast_pq.py:30). ``packed`` is uint8[n_pad, n_blocks // 2]
+    — two 4-bit codes per byte, the same 4 bits/block storage cost as
+    the reference's Quick-ADC layout (tinyknn/_transform.py:4-77) —
+    zero-padded rows beyond ``size``. Scans unpack on-chip (in-kernel
+    for Pallas, fused for XLA); ``codes`` materializes the unpacked
+    uint8[n_pad, n_blocks] view for inspection/tests.
     """
     size: int
-    codes: jax.Array
+    packed: jax.Array
 
     @property
-    def packed(self):
-        """Reference field-name alias (tinyknn/fast_pq.py:30)."""
-        return self.codes
+    def codes(self):
+        """Unpacked uint8[n_pad, n_blocks] view (values 0..15)."""
+        from ..ops.packing import unpack_codes
+        return unpack_codes(self.packed)
 
 
 class FastPQ:
@@ -133,13 +139,14 @@ class FastPQ:
         if not isinstance(data, jnp.ndarray):
             data = np.asarray(data, dtype=np.float32)
         if data.size == 0:
-            return data
+            B = self.center_blocks.shape[0]
+            return TransformedData(0, jnp.zeros((0, B // 2), jnp.uint8))
         true_n = data.shape[0]
         data = pad2(jnp.asarray(data, jnp.float32), ROW_PAD,
                     BLOCK_PAD * self.dims_per_block)
         codes = _encode(data, self.center_blocks, self.R,
                         self.dims_per_block)
-        return TransformedData(true_n, codes)
+        return TransformedData(true_n, pack_codes(codes))
 
     # ----------------------------------------------------- distance tables
 
@@ -278,7 +285,8 @@ class _FastDistanceTable:
         """
         del out  # API parity only
         true_n, codes = transformed_data
-        est = estimate_scan(codes, self.qt.tables, self.pq.backend)
+        est = estimate_scan(codes, self.qt.tables, self.pq.backend,
+                            packed=True)
         est = est[:, :true_n]
         if rescale:
             est = dequantize_estimates(est, self.qt)
@@ -334,7 +342,7 @@ def _fused_search(q, codes, data, center_blocks, R, dpb: int, signed: bool,
                                    "method"))
 def _two_pass_top(codes, tables, raw_q, data, true_n: int, k: int,
                   rescore: int, backend: str, method: str):
-    est = estimate_scan(codes, tables, backend)  # (Q, n_pad) int32
+    est = estimate_scan(codes, tables, backend, packed=True)  # (Q, n_pad)
     n_pad = codes.shape[0]
     if n_pad > true_n:
         mask = jnp.arange(n_pad) < true_n

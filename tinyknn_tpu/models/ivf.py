@@ -38,6 +38,7 @@ from ..utils.grouping import invert_assignments
 from ..utils.padding import round_up
 from ..utils.timing import timer
 from ..ops.kmeans import kmeans_fit
+from ..ops.packing import unpack_codes
 from ..ops.topk import dedup_candidates
 from .fast_pq import FastPQ, _build_tables, _resolve_method, pass1_topk
 
@@ -63,8 +64,8 @@ class IVF:
         self.list_counts = None
         self.all_centers = None
         self.active_centers = None
-        self.list_codes = None   # (C, cap, B) uint8
-        self.list_ids = None     # (C, cap)    int32, -1 padding
+        self.list_codes = None   # (C, cap, B/2) uint8, nibble-packed
+        self.list_ids = None     # (C, cap)      int32, -1 padding
         self.data = None         # (n, d) f32 (normalized when angular)
 
     # --------------------------------------------------------------- fit
@@ -127,6 +128,9 @@ class IVF:
                                      dtype=np.float32))
 
         with timer(verbose, "Encoding points into lists..."):
+            # codes arrive nibble-packed (4 bits/block, reference-equal
+            # memory: tinyknn/_transform.py:4-77); the grid stores them
+            # packed and the scans unpack on-chip.
             true_n, codes = self.pq.transform(data)
             ids, counts = invert_assignments(nearest, len(active), pad_to=8)
             ids = jnp.asarray(ids)
@@ -176,6 +180,7 @@ class IVF:
         qc = self.queries_per_cluster or max(
             8, round_up(5 * q.shape[0] * n_probes // (2 * max(n_active, 1))
                         + 1, 8))
+        qc0 = self.queries_per_cluster or default_qc0(q.shape[0], n_active)
         if mode == "auto":
             mode = "gather" if q.shape[0] * n_probes <= 64 else "bucket"
         method = _resolve_method(self.pass1_method)
@@ -183,7 +188,8 @@ class IVF:
         # VMEM comfortably; the XLA path is the fallback and oracle
         scan_impl = self.scan_impl
         if scan_impl == "auto":
-            est_bytes = max(qc, 8) * cap * 4 + cap * self.list_codes.shape[2] * 17
+            est_bytes = (max(qc, 8) * cap * 4
+                         + cap * 2 * self.list_codes.shape[2] * 17)
             scan_impl = ("fused" if jax.default_backend() == "tpu"
                          and est_bytes < 40 * 2**20 else "xla")
 
@@ -198,6 +204,9 @@ class IVF:
             # Drop-aware escalation: a skewed query batch (everyone near
             # the same clusters) can overflow the bucket capacity, and a
             # retry at 4x capacity is cheap relative to losing probes.
+            # Both rounds escalate — round 0 (each query's nearest
+            # cluster) concentrates the worst skew, e.g. a batch of
+            # near-duplicate queries all landing in one list.
             # The dropped-pair readback costs one host round trip, so it
             # runs by default only in the small-batch regime where skew
             # is likely and the sync is amortized poorly anyway; large
@@ -207,6 +216,8 @@ class IVF:
                            and (q.shape[0] * n_probes <= 4096
                                 or with_stats))
             attempts = 3 if check_drops else 1
+            qc_full = round_up(q.shape[0] * n_probes, 8)
+            qc0_full = round_up(q.shape[0], 8)
             for _attempt in range(attempts):
                 out, dropped = _ivf_query(
                     jnp.asarray(q), self.pq.center_blocks, self.pq.R,
@@ -214,12 +225,15 @@ class IVF:
                     self.list_counts, self.data,
                     dpb=self.pq.dims_per_block, metric=self.metric,
                     k=k, n_probes=n_probes, pass_1=pass_1, r=r,
-                    r_tail=r_tail, qc=qc, method=method,
+                    r_tail=r_tail, qc=qc, qc0=qc0, method=method,
                     scan_impl=scan_impl)
                 if _attempt + 1 == attempts or int(dropped) == 0:
                     break
-                qc = min(round_up(4 * qc, 8),
-                         round_up(q.shape[0] * n_probes, 8))
+                if _attempt + 2 == attempts:  # last try: can't-drop caps
+                    qc, qc0 = qc_full, qc0_full
+                else:
+                    qc = min(round_up(4 * qc, 8), qc_full)
+                    qc0 = min(round_up(4 * qc0, 8), qc0_full)
         out = out[0] if single else out
         if with_stats:
             return out, {
@@ -227,6 +241,7 @@ class IVF:
                 "dropped_probe_pairs": int(dropped),
                 "total_probe_pairs": int(q.shape[0]) * n_probes,
                 "queries_per_cluster_cap": qc,
+                "queries_per_cluster_cap_round0": qc0,
                 "pass_1": pass_1,
                 "per_pair_candidates": (r, r_tail),
             }
@@ -250,8 +265,8 @@ def _bucket_scan_round(probe_sub, tables_flat, list_codes, list_ids,
     path and the oracle.
     """
     Q, Ps = probe_sub.shape
-    C, cap, B = list_codes.shape
-    M = B * 16
+    C, cap, _ = list_codes.shape                      # codes nibble-packed
+    M = tables_flat.shape[1]                          # 16 * B
 
     pairs = probe_sub.reshape(-1)                     # (Q*Ps,)
     q_of_pair = jnp.arange(Q * Ps, dtype=jnp.int32) // Ps
@@ -283,7 +298,7 @@ def _bucket_scan_round(probe_sub, tables_flat, list_codes, list_ids,
                          and cap // 8 >= 4 * r) else 1
         vals, pos = scan_select_pallas(
             t_sel, list_codes, list_counts, r, segments=segments,
-            interpret=jax.default_backend() != "tpu")
+            packed=True, interpret=jax.default_backend() != "tpu")
         cand_vals = jnp.swapaxes(vals, 1, 2)          # (C, qc, r)
         pos = jnp.swapaxes(pos, 1, 2)
         valid = cand_vals < jnp.float32(1e37)
@@ -304,14 +319,15 @@ def _bucket_scan_round(probe_sub, tables_flat, list_codes, list_ids,
         qgrid_g = jnp.pad(qgrid, ((0, C_pad - C), (0, 0)),
                           constant_values=-1)
         cids_g = jnp.arange(C_pad, dtype=jnp.int32)
-        codes_g = codes_g.reshape(n_chunks, CLUSTER_CHUNK, cap, B)
+        codes_g = codes_g.reshape(n_chunks, CLUSTER_CHUNK, cap, -1)
         ids_g = ids_g.reshape(n_chunks, CLUSTER_CHUNK, cap)
         qgrid_g = qgrid_g.reshape(n_chunks, CLUSTER_CHUNK, qc)
         cids_g = cids_g.reshape(n_chunks, CLUSTER_CHUNK)
 
         def scan_chunk(args):
             codes_k, ids_k, qgrid_k, cids_k = args
-            onehot = jax.nn.one_hot(codes_k, 16, dtype=jnp.int8)
+            onehot = jax.nn.one_hot(unpack_codes(codes_k), 16,
+                                    dtype=jnp.int8)
             onehot = onehot.reshape(CLUSTER_CHUNK, cap, M)
             t_sel = tables_flat[jnp.maximum(qgrid_k, 0)]
             est = jax.lax.dot_general(
@@ -348,13 +364,22 @@ def _bucket_scan_round(probe_sub, tables_flat, list_codes, list_ids,
     return my_vals, my_ids, my_pos, dropped
 
 
+def default_qc0(Q: int, C: int) -> int:
+    """Round-0 bucket capacity: ~2.5x the mean per-cluster load.
+
+    Round 0 scans each query's *nearest* cluster, so its load profile
+    differs from the tail rounds (exactly one pair per query).
+    """
+    return max(32, -(-5 * Q // (2 * C)) // 8 * 8 + 8)
+
+
 @partial(jax.jit, static_argnames=("dpb", "metric", "k", "n_probes",
-                                   "pass_1", "r", "r_tail", "qc", "method",
-                                   "scan_impl"))
+                                   "pass_1", "r", "r_tail", "qc", "qc0",
+                                   "method", "scan_impl"))
 def _ivf_query(q, center_blocks, R, active_centers, list_codes, list_ids,
                list_counts, data, *, dpb: int, metric: str, k: int,
                n_probes: int, pass_1: int, r: int, r_tail: int, qc: int,
-               method: str = "exact", scan_impl: str = "xla"):
+               qc0: int, method: str = "exact", scan_impl: str = "xla"):
     """The full batched IVF query step — one jitted computation.
 
     Stages (Q queries, C clusters, cap list capacity, P probes):
@@ -371,17 +396,18 @@ def _ivf_query(q, center_blocks, R, active_centers, list_codes, list_ids,
       5. exact fp32 rescore of the survivors, final top-k.
     """
     Q, d = q.shape
-    C, cap, B = list_codes.shape
+    C, cap, _ = list_codes.shape
     P = n_probes
 
     if metric == "angular":
         q = q / jnp.maximum(jnp.linalg.norm(q, axis=1, keepdims=True), 1e-12)
     # distance tables fused into the query step (one dispatch end-to-end)
     tables = _build_tables(q, center_blocks, R, dpb, True).tables
+    B = tables.shape[1]
     tables_flat = tables.reshape(Q, B * 16)
     if scan_impl == "fused":
         from ..ops.kernels import permute_tables_tiled
-        tables_flat = permute_tables_tiled(tables_flat, B)
+        tables_flat = permute_tables_tiled(tables_flat, B, packed=True)
 
     # -- 1. probe selection (exact, on MXU)
     qn = jnp.einsum("qd,qd->q", q, q)
@@ -392,11 +418,10 @@ def _ivf_query(q, center_blocks, R, active_centers, list_codes, list_ids,
     _, probe_sel = jax.lax.top_k(-d2c, P)            # (Q, P) int32
 
     # -- 2-3. scan rounds
-    # qc floors are sized for ~2.5x the mean per-cluster load; heavily
-    # skewed query batches (everyone near one cluster) can exceed them —
-    # dropped pairs are reported via query(with_stats=True), and
-    # queries_per_cluster overrides the capacity.
-    qc0 = max(32, -(-5 * Q // (2 * C)) // 8 * 8 + 8)
+    # qc/qc0 are static capacities sized for ~2.5x the mean per-cluster
+    # load; heavily skewed query batches (everyone near one cluster) can
+    # exceed them — dropped pairs (both rounds) feed the caller's retry
+    # escalation, and queries_per_cluster overrides the capacity.
     v0, i0, _, drop0 = _bucket_scan_round(
         probe_sel[:, :1], tables_flat, list_codes, list_ids, list_counts,
         qc=qc0, r=r, method=method, scan_impl=scan_impl)
@@ -475,7 +500,7 @@ def _ivf_query_gather(q, center_blocks, R, active_centers, list_codes,
     kept for single-query latency parity.
     """
     Q, d = q.shape
-    C, cap, B = list_codes.shape
+    C, cap, _ = list_codes.shape
     P = n_probes
     if metric == "angular":
         q = q / jnp.maximum(jnp.linalg.norm(q, axis=1, keepdims=True), 1e-12)
@@ -488,7 +513,7 @@ def _ivf_query_gather(q, center_blocks, R, active_centers, list_codes,
         preferred_element_type=jnp.float32)
     _, probe_sel = jax.lax.top_k(-d2c, P)             # (Q, P)
 
-    codes_p = list_codes[probe_sel]                   # (Q, P, cap, B)
+    codes_p = unpack_codes(list_codes[probe_sel])     # (Q, P, cap, B)
     ids_p = list_ids[probe_sel]                       # (Q, P, cap)
     onehot = jax.nn.one_hot(codes_p, 16, dtype=jnp.int8)
     est = jnp.einsum("qpcbv,qbv->qpc", onehot, tables,

@@ -10,6 +10,7 @@ tinyknn/utils.py:95-162 and examples/sift/convert.py:10-58).
 from __future__ import annotations
 
 import ctypes
+import hashlib
 import os
 import subprocess
 import sys
@@ -21,15 +22,26 @@ _LIB = None
 _TRIED = False
 
 _SRC = Path(__file__).resolve().parent.parent / "native" / "tinyknn_native.cpp"
-_SO = Path(__file__).resolve().parent / "_tinyknn_native.so"
 
 
-def _build():
+def _so_path() -> Path:
+    """Shared-object path keyed by a content hash of the source.
+
+    An mtime comparison can tie on a fresh clone (both files get
+    checkout time), silently keeping a stale or foreign binary; hashing
+    the source into the filename makes staleness impossible — a changed
+    source simply builds to a new path.
+    """
+    h = hashlib.sha256(_SRC.read_bytes()).hexdigest()[:12]
+    return Path(__file__).resolve().parent / f"_tinyknn_native-{h}.so"
+
+
+def _build(so: Path):
     for cc in ("g++", "c++", "clang++"):
         try:
             subprocess.run(
                 [cc, "-O3", "-march=native", "-shared", "-fPIC",
-                 str(_SRC), "-o", str(_SO)],
+                 str(_SRC), "-o", str(so)],
                 check=True, capture_output=True, timeout=120)
             return True
         except (OSError, subprocess.SubprocessError):
@@ -46,10 +58,12 @@ def get_lib():
     if os.environ.get("TINYKNN_NO_NATIVE"):
         return None
     try:
-        if not _SO.exists() or _SO.stat().st_mtime < _SRC.stat().st_mtime:
-            if not _SRC.exists() or not _build():
-                return None
-        lib = ctypes.CDLL(str(_SO))
+        if not _SRC.exists():
+            return None
+        so = _so_path()
+        if not so.exists() and not _build(so):
+            return None
+        lib = ctypes.CDLL(str(so))
         lib.count_list_sizes.restype = ctypes.c_int32
         lib.count_list_sizes.argtypes = [
             ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,

@@ -33,17 +33,40 @@ from ..utils.padding import round_up
 TILE_N = 256
 
 
-def _estimate_kernel(codes_ref, tables_ref, out_ref):
-    codes = codes_ref[:]                       # (TILE_N, B) uint8
+def _unpack_evens_odds(codes_i32):
+    """In-kernel 4-bit unpack: uint->int32 (rows, B/2) packed bytes ->
+    (rows, B) codes in *storage block order* [0, 2, ..., 1, 3, ...]
+    (even blocks from the low nibbles, then odd blocks from the high
+    nibbles). Column interleave would need an in-kernel 3-D reshape;
+    keeping evens-then-odds order and permuting the *tables* to match
+    outside (see _block_perm) costs nothing.
+    """
+    lo = jnp.bitwise_and(codes_i32, 15)
+    hi = jnp.bitwise_and(jax.lax.shift_right_logical(codes_i32, 4), 15)
+    return jnp.concatenate([lo, hi], axis=1)
+
+
+def _block_perm(B: int):
+    """storage_col -> logical block for the evens/odds unpack order."""
+    import numpy as np
+    return np.concatenate([np.arange(0, B, 2), np.arange(1, B, 2)])
+
+
+def _estimate_kernel(codes_ref, tables_ref, out_ref, *, packed: bool):
+    codes = codes_ref[:]                       # (TILE_N, B or B/2) uint8
+    codes = codes.astype(jnp.int32)
+    if packed:
+        codes = _unpack_evens_odds(codes)
     tn, B = codes.shape
     M = B * 16
     # one-hot expansion in VMEM: onehot[i, b*16 + v] = (codes[i, b] == v)
     # 2-D one-hot build (Mosaic cannot reshape 3-D predicate vectors).
     # Tiled layout: column j of the M=16*B axis corresponds to center
-    # j // B of block j % B (tables are permuted to match outside).
-    # Explicit concatenate (not pltpu.repeat, whose interpret-mode and
-    # hardware semantics differ) keeps CPU tests faithful.
-    codes_tiled = jnp.concatenate([codes.astype(jnp.int32)] * 16, axis=1)
+    # j // B of (storage-order) block j % B (tables are permuted to
+    # match outside). Explicit concatenate (not pltpu.repeat, whose
+    # interpret-mode and hardware semantics differ) keeps CPU tests
+    # faithful.
+    codes_tiled = jnp.concatenate([codes] * 16, axis=1)
     center_of_col = jax.lax.broadcasted_iota(jnp.int32, (tn, M), 1) // B
     onehot = (codes_tiled == center_of_col).astype(jnp.int8)
     out_ref[:] = jax.lax.dot_general(
@@ -51,16 +74,20 @@ def _estimate_kernel(codes_ref, tables_ref, out_ref):
         preferred_element_type=jnp.int32)
 
 
-@partial(jax.jit, static_argnames=("interpret",))
-def _estimate_pallas(codes, tables, interpret: bool = False):
-    """codes: uint8[n, B]; tables: int8[Q, B, 16] -> int32[Q, n]."""
-    n, B = codes.shape
-    Q = tables.shape[0]
+@partial(jax.jit, static_argnames=("packed", "interpret"))
+def _estimate_pallas(codes, tables, packed: bool = False,
+                     interpret: bool = False):
+    """codes: uint8[n, B] (or uint8[n, B/2] nibble-packed);
+    tables: int8[Q, B, 16] -> int32[Q, n]."""
+    n = codes.shape[0]
+    Q, B, _ = tables.shape
     M = B * 16
     n_pad = round_up(max(n, TILE_N), TILE_N)
     q_pad = round_up(max(Q, 128), 128)
     if n_pad != n:
         codes = jnp.pad(codes, ((0, n_pad - n), (0, 0)))
+    if packed:
+        tables = tables[:, _block_perm(B), :]  # match unpack block order
     # permute rows to the kernel's tiled one-hot layout: row v*B + b
     # holds tables[q, b, v]
     tablesT = tables.transpose(2, 1, 0).reshape(M, Q)
@@ -68,10 +95,10 @@ def _estimate_pallas(codes, tables, interpret: bool = False):
         tablesT = jnp.pad(tablesT, ((0, 0), (0, q_pad - Q)))
 
     out = pl.pallas_call(
-        _estimate_kernel,
+        partial(_estimate_kernel, packed=packed),
         grid=(n_pad // TILE_N,),
         in_specs=[
-            pl.BlockSpec((TILE_N, B), lambda i: (i, 0),
+            pl.BlockSpec((TILE_N, codes.shape[1]), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((M, q_pad), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -84,10 +111,11 @@ def _estimate_pallas(codes, tables, interpret: bool = False):
     return out[:n, :Q].T
 
 
-def estimate_scan_pallas(codes, tables):
+def estimate_scan_pallas(codes, tables, packed: bool = False):
     """Dispatcher-facing wrapper; interpret mode off-TPU (tests)."""
     interpret = jax.default_backend() != "tpu"
-    return _estimate_pallas(codes, tables, interpret=interpret)
+    return _estimate_pallas(codes, tables, packed=packed,
+                            interpret=interpret)
 
 
 def register():
@@ -111,10 +139,14 @@ register()
 # --------------------------------------------------------------------
 
 def _scan_select_kernel(counts_ref, tsel_ref, codes_ref, vals_ref, idx_ref,
-                        *, r: int, segments: int = 1):
+                        *, r: int, segments: int = 1,
+                        packed: bool = False):
     tsel = tsel_ref[0]                           # (qc, M) int8
-    codes = codes_ref[0]                         # (cap, B) uint8
+    codes = codes_ref[0]                         # (cap, B or B/2) uint8
     count = counts_ref[pl.program_id(0)]         # valid prefix length
+    codes = codes.astype(jnp.int32)
+    if packed:
+        codes = _unpack_evens_odds(codes)        # 4-bit HBM, unpacked here
     cap, B = codes.shape
     M = B * 16
     qc = tsel.shape[0]
@@ -123,7 +155,7 @@ def _scan_select_kernel(counts_ref, tsel_ref, codes_ref, vals_ref, idx_ref,
     # int32 compare (Mosaic on v5e only supports 32-bit comparisons);
     # the 8MB intermediate at production shapes needs the raised
     # vmem_limit_bytes below.
-    codes_tiled = jnp.concatenate([codes.astype(jnp.int32)] * 16, axis=1)
+    codes_tiled = jnp.concatenate([codes] * 16, axis=1)
     center_of_col = jax.lax.broadcasted_iota(jnp.int32, (cap, M), 1) // B
     onehot = (codes_tiled == center_of_col).astype(jnp.int8)
     est = jax.lax.dot_general(
@@ -176,23 +208,27 @@ def _scan_select_kernel(counts_ref, tsel_ref, codes_ref, vals_ref, idx_ref,
     jax.lax.fori_loop(0, r, body, (seg_min, seg_arg))
 
 
-@partial(jax.jit, static_argnames=("r", "segments", "interpret"))
+@partial(jax.jit, static_argnames=("r", "segments", "packed", "interpret"))
 def scan_select_pallas(tables_sel, codes, counts, r: int,
-                       segments: int = 1, interpret: bool = False):
+                       segments: int = 1, packed: bool = False,
+                       interpret: bool = False):
     """Fused per-cluster scan + top-r selection.
 
     tables_sel: int8[C, qc, M] — each cluster's bucketed query tables
         (M = 16 * B, rows permuted to the tiled one-hot layout:
-        row v * B + b holds table[b, v]).
-    codes: uint8[C, cap, B]; counts: int32[C] — valid prefix length of
+        row v * B + b holds table[b, v]; when ``packed``, b is the
+        *storage* block order — permute_tables_tiled(packed=True)).
+    codes: uint8[C, cap, B], or uint8[C, cap, B/2] nibble-packed when
+        ``packed`` (4-bit HBM storage, unpacked in VMEM);
+    counts: int32[C] — valid prefix length of
         each list (lists are built contiguous; padding is the suffix).
     Returns (vals f32[C, r, qc], pos int32[C, r, qc]) — candidate
     estimate values and positions within the list (cap = invalid).
     The r-major layout keeps each extraction's write row-contiguous.
     """
     C, qc, M = tables_sel.shape
-    _, cap, B = codes.shape
-    assert M == 16 * B
+    _, cap, Bs = codes.shape
+    assert M == 16 * (2 * Bs if packed else Bs)
     assert cap % segments == 0
     counts1 = counts.reshape(C).astype(jnp.int32)
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -201,7 +237,7 @@ def scan_select_pallas(tables_sel, codes, counts, r: int,
         in_specs=[
             pl.BlockSpec((1, qc, M), lambda i, counts: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, cap, B), lambda i, counts: (i, 0, 0),
+            pl.BlockSpec((1, cap, Bs), lambda i, counts: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
@@ -212,7 +248,8 @@ def scan_select_pallas(tables_sel, codes, counts, r: int,
         ],
     )
     vals, pos = pl.pallas_call(
-        partial(_scan_select_kernel, r=r, segments=segments),
+        partial(_scan_select_kernel, r=r, segments=segments,
+                packed=packed),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((C, r, qc), jnp.float32),
@@ -225,8 +262,14 @@ def scan_select_pallas(tables_sel, codes, counts, r: int,
     return vals, pos
 
 
-def permute_tables_tiled(tables_flat, B: int):
-    """(..., 16B) tables in block-major layout -> tiled kernel layout."""
+def permute_tables_tiled(tables_flat, B: int, packed: bool = False):
+    """(..., 16B) tables in block-major layout -> tiled kernel layout.
+
+    ``packed``: additionally reorder blocks to the storage order the
+    in-kernel 4-bit unpack produces (evens then odds).
+    """
     shape = tables_flat.shape[:-1]
     t = tables_flat.reshape(shape + (B, 16))
+    if packed:
+        t = t[..., _block_perm(B), :]
     return jnp.swapaxes(t, -1, -2).reshape(shape + (16 * B,))

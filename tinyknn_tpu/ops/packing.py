@@ -21,19 +21,19 @@ import jax.numpy as jnp
 
 @jax.jit
 def pack_codes(codes):
-    """uint8[n, B] (values 0..15) -> uint8[n, B/2]; B must be even."""
+    """uint8[..., B] (values 0..15) -> uint8[..., B/2]; B must be even."""
     codes = jnp.asarray(codes, jnp.uint8)
-    n, b = codes.shape
-    assert b % 2 == 0, "n_blocks must be even to nibble-pack"
-    lo = codes[:, 0::2]
-    hi = codes[:, 1::2]
+    assert codes.shape[-1] % 2 == 0, "n_blocks must be even to nibble-pack"
+    lo = codes[..., 0::2]
+    hi = codes[..., 1::2]
     return (lo | (hi << 4)).astype(jnp.uint8)
 
 
 @jax.jit
 def unpack_codes(packed):
-    """uint8[n, B/2] -> uint8[n, B] (values 0..15)."""
+    """uint8[..., B/2] -> uint8[..., B] (values 0..15)."""
     packed = jnp.asarray(packed, jnp.uint8)
     lo = packed & 0xF
     hi = packed >> 4
-    return jnp.stack([lo, hi], axis=-1).reshape(packed.shape[0], -1)
+    return jnp.stack([lo, hi], axis=-1).reshape(
+        packed.shape[:-1] + (2 * packed.shape[-1],))

@@ -45,9 +45,17 @@ def _default_backend():
     return "xla"
 
 
-@jax.jit
-def estimate_scan_xla(codes, tables):
-    """codes: uint8[n, B] (0..15); tables: int8[Q, B, 16] -> int32[Q, n]."""
+@partial(jax.jit, static_argnames=("packed",))
+def estimate_scan_xla(codes, tables, packed: bool = False):
+    """codes: uint8[n, B] (0..15), or uint8[n, B/2] nibble-packed when
+    ``packed``; tables: int8[Q, B, 16] -> int32[Q, n].
+
+    The 4-bit unpack fuses into the one-hot expansion — HBM only ever
+    reads the packed bytes (half the reference-equal code memory).
+    """
+    if packed:
+        from .packing import unpack_codes
+        codes = unpack_codes(codes)
     onehot = jax.nn.one_hot(codes, 16, dtype=jnp.int8)  # (n, B, 16)
     n = codes.shape[0]
     q = tables.shape[0]
@@ -57,14 +65,15 @@ def estimate_scan_xla(codes, tables):
         b, a, (((1,), (1,)), ((), ())), preferred_element_type=jnp.int32)
 
 
-def estimate_scan(codes, tables, backend: str = "auto"):
+def estimate_scan(codes, tables, backend: str = "auto",
+                  packed: bool = False):
     """Batched PQ estimate; returns int32[Q, n]."""
     if backend == "auto":
         backend = _default_backend()
     if backend == "pallas":
         assert _PALLAS_IMPL is not None, "pallas backend not available"
-        return _PALLAS_IMPL(codes, tables)
-    return estimate_scan_xla(codes, tables)
+        return _PALLAS_IMPL(codes, tables, packed)
+    return estimate_scan_xla(codes, tables, packed)
 
 
 @partial(jax.jit, static_argnames=("signed", "lanes"))

@@ -34,7 +34,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import PartitionSpec as P
 
-from ..models.ivf import IVF, _bucket_scan_round
+from ..models.ivf import IVF, _bucket_scan_round, default_qc0
 from ..models.fast_pq import _resolve_method
 from ..ops.topk import dedup_candidates
 from .mesh import make_mesh, replicate, shard_on_axis0
@@ -76,7 +76,7 @@ class ShardedIVF(IVF):
         self._n_active_real = C
         return self
 
-    def query(self, q, k, n_probes=1, pass_1=None):
+    def query(self, q, k, n_probes=1, pass_1=None, with_stats=False):
         q = np.asarray(q, dtype=np.float32)
         single = q.ndim == 1
         if single:
@@ -95,56 +95,87 @@ class ShardedIVF(IVF):
         qc = self.queries_per_cluster or max(
             8, 8 * ((5 * q.shape[0] * n_probes * n_dev
                      // (2 * max(C_pad, 1))) // 8 + 1))
+        qc0 = self.queries_per_cluster or default_qc0(
+            q.shape[0], max(C_pad // n_dev, 1))
         method = _resolve_method(self.pass1_method)
         scan_impl = self.scan_impl
         if scan_impl == "auto":
-            est_bytes = max(qc, 8) * cap * 4 + cap * self.list_codes.shape[2] * 17
+            est_bytes = (max(qc, 8) * cap * 4
+                         + cap * 2 * self.list_codes.shape[2] * 17)
             scan_impl = ("fused" if jax.default_backend() == "tpu"
                          and est_bytes < 40 * 2**20 else "xla")
 
         dtable = self.pq._table(q, signed=True)
         qj = replicate(self.mesh, jnp.asarray(q))
         tables = replicate(self.mesh, dtable.qt.tables)
-        out = _sharded_query(
-            qj, tables, self.active_centers, self.list_codes,
-            self.list_ids, self.list_counts, self.list_vecs,
-            mesh=self.mesh, axis=self.axis,
-            metric=self.metric, k=k, n_probes=n_probes, pass_1=pass_1,
-            r=r, r_tail=r_tail, qc=qc, method=method, scan_impl=scan_impl)
-        return out[0] if single else out
+        # Same skew-driven drop escalation as the single-chip path
+        # (models/ivf.py IVF.query); drops are psum'd across shards.
+        check_drops = (not self.queries_per_cluster
+                       and (q.shape[0] * n_probes <= 4096 or with_stats))
+        attempts = 3 if check_drops else 1
+        from ..utils.padding import round_up
+        qc_full = round_up(q.shape[0] * n_probes, 8)
+        qc0_full = round_up(q.shape[0], 8)
+        for _attempt in range(attempts):
+            out, dropped = _sharded_query(
+                qj, tables, self.active_centers, self.list_codes,
+                self.list_ids, self.list_counts, self.list_vecs,
+                mesh=self.mesh, axis=self.axis,
+                metric=self.metric, k=k, n_probes=n_probes, pass_1=pass_1,
+                r=r, r_tail=r_tail, qc=qc, qc0=qc0, method=method,
+                scan_impl=scan_impl)
+            if _attempt + 1 == attempts or int(dropped) == 0:
+                break
+            if _attempt + 2 == attempts:  # last try: can't-drop caps
+                qc, qc0 = qc_full, qc0_full
+            else:
+                qc = min(round_up(4 * qc, 8), qc_full)
+                qc0 = min(round_up(4 * qc0, 8), qc0_full)
+        out = out[0] if single else out
+        if with_stats:
+            return out, {
+                "dropped_probe_pairs": int(dropped),
+                "total_probe_pairs": int(q.shape[0]) * n_probes,
+                "queries_per_cluster_cap": qc,
+                "queries_per_cluster_cap_round0": qc0,
+                "pass_1": pass_1,
+                "per_pair_candidates": (r, r_tail),
+            }
+        return out
 
 
 @partial(jax.jit,
          static_argnames=("mesh", "axis", "metric", "k", "n_probes",
-                          "pass_1", "r", "r_tail", "qc", "method",
+                          "pass_1", "r", "r_tail", "qc", "qc0", "method",
                           "scan_impl"))
 def _sharded_query(q, tables, centers, list_codes, list_ids, list_counts,
                    list_vecs, *, mesh, axis, metric, k, n_probes, pass_1,
-                   r, r_tail, qc, method, scan_impl):
+                   r, r_tail, qc, qc0, method, scan_impl):
     spec_s = P(axis)
     spec_r = P()
 
     step = partial(_shard_local_query, axis=axis, metric=metric, k=k,
                    n_probes=n_probes, pass_1=pass_1, r=r, r_tail=r_tail,
-                   qc=qc, method=method, scan_impl=scan_impl)
+                   qc=qc, qc0=qc0, method=method, scan_impl=scan_impl)
     # check_vma=False: outputs are replicated by construction (they come
-    # out of an all_gather + identical replicated math), which the
+    # out of an all_gather/psum + identical replicated math), which the
     # varying-axes checker cannot infer statically.
-    ids, d2 = jax.shard_map(
+    ids, d2, dropped = jax.shard_map(
         step, mesh=mesh,
         in_specs=(spec_r, spec_r, spec_r, spec_s, spec_s, spec_s, spec_s),
-        out_specs=(spec_r, spec_r), check_vma=False,
+        out_specs=(spec_r, spec_r, spec_r), check_vma=False,
     )(q, tables, centers, list_codes, list_ids, list_counts, list_vecs)
-    return ids
+    return ids, dropped
 
 
 def _shard_local_query(q, tables, centers, codes_l, ids_l, counts_l,
                        vecs_l, *, axis, metric, k, n_probes, pass_1, r,
-                       r_tail, qc, method, scan_impl):
+                       r_tail, qc, qc0, method, scan_impl):
     """Per-shard body: local two-round bucketed scan (shared with the
     single-chip path, models/ivf.py) + local rescore + gather-merge."""
     Q, d = q.shape
-    Cl, cap, B = codes_l.shape
+    Cl, cap, _ = codes_l.shape                 # codes nibble-packed
+    B = tables.shape[1]
     P_ = n_probes
     me = jax.lax.axis_index(axis)
 
@@ -170,16 +201,17 @@ def _shard_local_query(q, tables, centers, codes_l, ids_l, counts_l,
     tables_flat = tables.reshape(Q, M)
     if scan_impl == "fused":
         from ..ops.kernels import permute_tables_tiled
-        tables_flat = permute_tables_tiled(tables_flat, B)
+        tables_flat = permute_tables_tiled(tables_flat, B, packed=True)
 
-    qc0 = max(32, -(-5 * Q // (2 * Cl)) // 8 * 8 + 8)
-    v0, i0, p0, _ = _bucket_scan_round(
+    v0, i0, p0, drop0 = _bucket_scan_round(
         probes_local[:, :1], tables_flat, codes_l, ids_l, counts_l,
         qc=qc0, r=r, method=method, scan_impl=scan_impl)
+    dropped = drop0
     if P_ > 1:
-        v1, i1, p1, _ = _bucket_scan_round(
+        v1, i1, p1, drop1 = _bucket_scan_round(
             probes_local[:, 1:], tables_flat, codes_l, ids_l, counts_l,
             qc=qc, r=r_tail, method=method, scan_impl=scan_impl)
+        dropped = dropped + drop1
         ok0 = is_local[:, :1, None]
         ok1 = is_local[:, 1:, None]
         flat_vals = jnp.concatenate(
@@ -226,7 +258,7 @@ def _shard_local_query(q, tables, centers, codes_l, ids_l, counts_l,
     out_ids = jnp.take_along_axis(all_ids, best, axis=1)
     out_d2 = jnp.take_along_axis(all_d2, best, axis=1)
     out_ids = jnp.where(jnp.isfinite(out_d2), out_ids, -1)
-    return out_ids, out_d2
+    return out_ids, out_d2, jax.lax.psum(dropped, axis)
 
 
 def lloyd_step_dp(X, centers, mesh, axis: str = "shards"):

@@ -48,7 +48,7 @@ class ShardedFastPQ:
         X = jnp.asarray(X, jnp.float32)
         self.true_n = int(X.shape[0])
         tdata = self.pq.transform(X)
-        codes = tdata.codes
+        codes = tdata.packed            # nibble-packed shards (4 bits/block)
         # pad rows so each shard gets an equal slice
         n_pad = round_up(codes.shape[0], n_dev * 8)
         codes = jnp.pad(codes, ((0, n_pad - codes.shape[0]), (0, 0)))
@@ -89,7 +89,8 @@ def _sharded_search(q, codes, vectors, center_blocks, R, *, mesh, axis,
         local_n = codes_l.shape[0]
         base = me * local_n
         tables = _build_tables(q, center_blocks, R, dpb, True).tables
-        est = estimate_scan_xla(codes_l, tables)       # (Q, local_n) int32
+        est = estimate_scan_xla(codes_l, tables,
+                                packed=True)           # (Q, local_n) int32
         # mask global padding rows (only the last shard has any)
         gids = base + jnp.arange(local_n)
         est = jnp.where(gids[None, :] < true_n, est,
