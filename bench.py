@@ -137,9 +137,38 @@ def main():
     recall = float(np.mean([t in row for t, row in zip(trus, top)]))
     log(f"search recall1@10: {recall:.3f}")
 
+    # ---- batch-size scaling detail (M=1000 is the matmul's thin dim;
+    # larger query batches raise MXU utilization — docs/PERFORMANCE.md)
+    for nq_big in (4000, 8000):
+        reps_b = max(1, 20000 // nq_big)
+        qs_big = jnp.tile(qs_j, (nq_big // nq, 1))
+        jb = jnp.arange(reps_b, dtype=jnp.float32)[:, None, None] * 1e-6
+        qbb = jnp.broadcast_to(qs_big, (reps_b, nq_big, d)) + jb
+
+        @jax.jit
+        def sweep_big(qbatches):
+            def body(q):
+                qt = _build_tables(q, cb, None, dpb, True)
+                est = estimate_scan(codes, qt.tables, backend, packed=True)
+                return est[0, 0] + est[nq_big - 1, n - 1]
+            return jax.lax.map(body, qbatches)
+
+        np.asarray(sweep_big(qbb))
+        elb = float("inf")
+        for _ in range(3):
+            t0 = time.time()
+            np.asarray(sweep_big(qbb))
+            elb = min(elb, time.time() - t0)
+        log(f"batch={nq_big}: {reps_b*nq_big/elb:.0f} QPS "
+            f"({elb/reps_b*1000:.2f}ms per batch)")
+
     # ---- verdict
+    # Gate at measured parity: the reference's published 1.0/19.0 is an
+    # unseeded single run; its own sklearn codebook under an exact f32
+    # estimator yields median 2.0 on seeded data (docs/PERFORMANCE.md,
+    # "Quality parity"), so 2.0/25 is the honest tight gate.
     baseline = 7101.26
-    quality_ok = med <= 3.0 and q90 <= 60.0 and recall >= 0.85
+    quality_ok = med <= 2.0 and q90 <= 25.0 and recall >= 0.85
     if not quality_ok:
         log("QUALITY GATE FAILED — reporting vs_baseline=0")
     result = {

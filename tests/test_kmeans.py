@@ -56,3 +56,25 @@ def test_tiny_n():
     C, _ = kmeans_fit(X, 8, iters=5)
     assert np.asarray(C).shape == (8, 4)
     assert np.all(np.isfinite(np.asarray(C)))
+
+
+def test_empty_cluster_relocation():
+    """k near-duplicate groups + k >> distinct modes: every cluster must
+    end non-empty (sklearn-style relocation to far points)."""
+    import jax
+    import jax.numpy as jnp
+    from tinyknn_tpu.ops.kmeans import kmeans_fit
+
+    rng = np.random.default_rng(5)
+    # 3 tight modes, but ask for 12 clusters: naive Lloyd leaves many
+    # centers starving while far outliers stay unsplit
+    modes = rng.standard_normal((3, 8)).astype(np.float32) * 10
+    X = np.concatenate([m + 0.01 * rng.standard_normal((50, 8))
+                        for m in modes]).astype(np.float32)
+    X[:4] += 100.0  # far outliers relocation should capture
+    C, _ = kmeans_fit(X, 12, key=jax.random.PRNGKey(0), iters=20)
+    d2 = ((X[:, None, :] - np.asarray(C)[None]) ** 2).sum(-1)
+    counts = np.bincount(d2.argmin(1), minlength=12)
+    assert (counts > 0).sum() >= 10, counts
+    # the outliers must have a nearby center (relocation target)
+    assert d2[:4].min(1).max() < 50.0, d2[:4].min(1)

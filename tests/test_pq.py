@@ -157,3 +157,28 @@ def test_transform_empty_returns_transformed_data():
     td = pq.transform(np.zeros((0, 8), np.float32))
     assert td.size == 0
     assert td.codes.shape[1] == pq.center_blocks.shape[0]
+
+
+def test_bf16_tables_rank_at_least_as_good():
+    """Unquantized bf16/f32 tables must rank the true NN no worse (in
+    aggregate) than int8-quantized tables, and the search API must work
+    with every table_dtype."""
+    np.random.seed(10)
+    n, d, nq = 2000, 32, 100
+    X = np.random.randn(n, d).astype(np.float32)
+    qs = np.random.randn(nq, d).astype(np.float32)
+    trus = np.asarray(knn_brute(qs, X, k=1))[:, 0]
+
+    mean_ranks = {}
+    for td in ("int8", "bf16", "f32"):
+        pq = FastPQ(2, rotate_dim=None, table_dtype=td)
+        data = pq.fit_transform(X)
+        est = np.asarray(pq.distance_table(qs).estimate_distances(data))
+        ranks = (est < est[np.arange(nq), trus][:, None]).sum(1)
+        mean_ranks[td] = ranks.mean()
+        top = np.asarray(pq.search(qs, data, X, k=10))
+        assert top.shape == (nq, 10)
+        recall = np.mean([t in row for t, row in zip(trus, top)])
+        assert recall > 0.8, (td, recall)
+    assert mean_ranks["f32"] <= mean_ranks["int8"] + 0.5, mean_ranks
+    assert mean_ranks["bf16"] <= mean_ranks["int8"] + 0.5, mean_ranks

@@ -33,6 +33,7 @@ def _pq_state(pq: FastPQ) -> dict:
             "backend": pq.backend,
             "kmeans_iters": pq.kmeans_iters,
             "kmeans_n_init": pq.kmeans_n_init,
+            "table_dtype": pq.table_dtype,
         }).encode(), dtype=np.uint8),
     }
     if pq.R is not None:
@@ -47,7 +48,8 @@ def _pq_restore(data) -> FastPQ:
                 rotate_dim=meta["rotate_dim"], seed=meta["seed"],
                 backend=meta["backend"],
                 kmeans_iters=meta.get("kmeans_iters", 25),
-                kmeans_n_init=meta.get("kmeans_n_init", 2))
+                kmeans_n_init=meta.get("kmeans_n_init", 2),
+                table_dtype=meta.get("table_dtype", "int8"))
     cb = jnp.asarray(data["pq_center_blocks"])
     pq.center_blocks = cb
     B, _, dpb = cb.shape

@@ -32,6 +32,7 @@ from ..ops.quantization import (
     dequantize_estimates,
     quantize_tables_signed,
     quantize_tables_unsigned,
+    tables_bf16,
 )
 from ..ops.packing import pack_codes
 from ..ops.scan import estimate_scan
@@ -66,7 +67,9 @@ class FastPQ:
     """4-bit product quantizer (reference: tinyknn/fast_pq.py:33-252)."""
 
     def __init__(self, dims_per_block=2, use_kmeans=True, rotate_dim=64,
-                 seed=0, backend="auto", kmeans_iters=25, kmeans_n_init=2):
+                 seed=0, backend="auto", kmeans_iters=25, kmeans_n_init=2,
+                 table_dtype="int8"):
+        assert table_dtype in ("int8", "bf16", "f32")
         self.dims_per_block = dims_per_block
         self.use_kmeans = use_kmeans
         self.rotate_dim = rotate_dim
@@ -74,6 +77,10 @@ class FastPQ:
         self.backend = backend
         self.kmeans_iters = kmeans_iters
         self.kmeans_n_init = kmeans_n_init
+        # "int8": the reference's quantized tables (equal memory, MXU
+        # int8 path). "bf16"/"f32": unquantized — same measured speed on
+        # the MXU, slightly better tail ranks (no rounding error).
+        self.table_dtype = table_dtype
         self.centers = None        # (16, d) f32, reference layout
         self.center_blocks = None  # (B, 16, dpb) f32
         self.sqrt_n_blocks = None
@@ -169,7 +176,7 @@ class FastPQ:
             q = q[None]
         raw_q = jnp.asarray(q)
         qt = _build_tables(raw_q, self.center_blocks, self.R,
-                           self.dims_per_block, signed)
+                           self.dims_per_block, signed, self.table_dtype)
         return _FastDistanceTable(self, qt, raw_q, single)
 
     # ------------------------------------------------------------ search
@@ -196,7 +203,8 @@ class FastPQ:
         idx = _fused_search(jnp.asarray(qn), codes, data,
                             self.center_blocks, self.R,
                             self.dims_per_block, signed, true_n, k,
-                            rescore, self.backend, _resolve_method(method))
+                            rescore, self.backend, _resolve_method(method),
+                            self.table_dtype)
         return idx[0] if single else idx
 
 
@@ -245,8 +253,9 @@ def _encode(data, center_blocks, R, dpb: int, chunk: int = 65536):
     return out.reshape(n_pad, B)[:n]
 
 
-@partial(jax.jit, static_argnames=("dpb", "signed"))
-def _build_tables(q, center_blocks, R, dpb: int, signed: bool):
+@partial(jax.jit, static_argnames=("dpb", "signed", "table_dtype"))
+def _build_tables(q, center_blocks, R, dpb: int, signed: bool,
+                  table_dtype: str = "int8"):
     Q, true_d = q.shape
     B = center_blocks.shape[0]
     d_in = B * dpb if R is None else R.shape[1]
@@ -255,6 +264,12 @@ def _build_tables(q, center_blocks, R, dpb: int, signed: bool):
         q = q @ R.T
     q_blocks = q.reshape(Q, B, dpb)
     dists = block_dists_blocked(q_blocks, center_blocks)
+    if table_dtype == "bf16":
+        return tables_bf16(dists)
+    if table_dtype == "f32":
+        from ..ops.quantization import QuantizedTables
+        return QuantizedTables(dists, jnp.zeros((Q,), jnp.float32),
+                               jnp.ones((Q,), jnp.float32), True)
     if signed:
         return quantize_tables_signed(dists)
     return quantize_tables_unsigned(dists)
@@ -329,11 +344,12 @@ def pass1_topk(neg_vals, k: int, method: str):
 
 
 @partial(jax.jit, static_argnames=("dpb", "signed", "true_n", "k",
-                                   "rescore", "backend", "method"))
+                                   "rescore", "backend", "method",
+                                   "table_dtype"))
 def _fused_search(q, codes, data, center_blocks, R, dpb: int, signed: bool,
                   true_n: int, k: int, rescore: int, backend: str,
-                  method: str):
-    qt = _build_tables(q, center_blocks, R, dpb, signed)
+                  method: str, table_dtype: str = "int8"):
+    qt = _build_tables(q, center_blocks, R, dpb, signed, table_dtype)
     return _two_pass_top(codes, qt.tables, q, data, true_n, k, rescore,
                          backend, method)
 
@@ -346,7 +362,9 @@ def _two_pass_top(codes, tables, raw_q, data, true_n: int, k: int,
     n_pad = codes.shape[0]
     if n_pad > true_n:
         mask = jnp.arange(n_pad) < true_n
-        est = jnp.where(mask[None, :], est, jnp.iinfo(jnp.int32).max)
+        big = (jnp.inf if jnp.issubdtype(est.dtype, jnp.floating)
+               else jnp.iinfo(jnp.int32).max)
+        est = jnp.where(mask[None, :], est, big)
     _, cand = pass1_topk(-est, rescore, method)      # (Q, rescore)
     if rescore <= k:
         return cand

@@ -104,17 +104,40 @@ def _lloyd_iter(X, w, C, chunk: int):
     return new_C, counts, inertia
 
 
+def _relocate_empty(C, counts, Xp, wp):
+    """Re-seed empty clusters at far points (sklearn-style relocation).
+
+    sklearn reassigns empty clusters to the points with the largest
+    inertia contribution; scanning all of X for them every iteration would
+    cost a full extra pass, so candidates come from the (16k-row)
+    k-means++ pool — the far-point tail is dense there. Empty cluster
+    #e (in cluster order) takes the pool point with the e-th largest
+    min-distance to the current centers. Static shapes throughout.
+    """
+    k = C.shape[0]
+    kf = min(k, Xp.shape[0])  # tiny datasets: fewer candidates than k
+    d2 = _pairwise_sq(Xp, C).min(axis=1)
+    d2 = jnp.where(wp > 0, d2, -jnp.inf)              # ignore padding
+    _, far = jax.lax.top_k(d2, kf)                    # far pool rows
+    empty = counts <= 0
+    rank = jnp.cumsum(empty.astype(jnp.int32)) - 1    # e-th empty -> e
+    repl = Xp[far[jnp.clip(rank, 0, kf - 1)]]
+    return jnp.where(empty[:, None], repl, C)
+
+
 @partial(jax.jit, static_argnames=("k", "iters", "chunk"))
 def _kmeans_single(key, X, w, k: int, iters: int, chunk: int):
     kp, key = jax.random.split(key)
     pool = _init_pool(kp, X.shape[0], k)
     if pool is None:
-        C0 = _plus_plus_init(key, X, w, k)
+        Xp, wp = X, w
     else:
-        C0 = _plus_plus_init(key, X[pool], w[pool], k)
+        Xp, wp = X[pool], w[pool]
+    C0 = _plus_plus_init(key, Xp, wp, k)
 
     def body(C, _):
-        C, _, inertia = _lloyd_iter(X, w, C, chunk)
+        C, counts, inertia = _lloyd_iter(X, w, C, chunk)
+        C = _relocate_empty(C, counts, Xp, wp)
         return C, inertia
 
     C, inertias = jax.lax.scan(body, C0, None, length=iters)
@@ -230,14 +253,30 @@ def blockwise_kmeans(key, cols, k: int = 16, iters: int = 25,
         (sums, counts, inertia), _ = jax.lax.scan(body, init, (cols_c, w_c))
         newC = jnp.where(counts[..., None] > 0,
                          sums / jnp.maximum(counts[..., None], 1.0), C)
-        return newC, inertia
+        return newC, counts, inertia
+
+    def relocate(C, counts):
+        """Per-block empty-cluster relocation (see _relocate_empty)."""
+        xn = jnp.einsum("bnd,bnd->bn", cols_i, cols_i)
+        cn = jnp.einsum("bkd,bkd->bk", C, C)
+        d2 = (xn[:, :, None] + cn[:, None, :]
+              - 2.0 * jnp.einsum("bnd,bkd->bnk", cols_i, C))
+        d2min = jnp.where(w_i[None, :] > 0, jnp.min(d2, axis=2), -jnp.inf)
+        kf = min(k, n_i)  # tiny datasets: fewer candidates than k
+        _, far = jax.lax.top_k(d2min, kf)              # (B, kf)
+        empty = counts <= 0
+        rank = jnp.cumsum(empty.astype(jnp.int32), axis=1) - 1
+        sel = jnp.take_along_axis(far, jnp.clip(rank, 0, kf - 1), axis=1)
+        repl = cols_i[barange[:, None], sel]           # (B, k, dpb)
+        return jnp.where(empty[..., None], repl, C)
 
     best_C, best_inertia = None, None
     for i in range(n_init):
         C = ppp_init(jax.random.fold_in(key, i))
 
         def body(C, _):
-            C, inertia = lloyd_iter(C)
+            C, counts, inertia = lloyd_iter(C)
+            C = relocate(C, counts)
             return C, inertia
 
         C, inertias = jax.lax.scan(body, C, None, length=iters)

@@ -88,6 +88,23 @@ def quantize_tables_unsigned(dists):
     return QuantizedTables(t, shift, scale, False)
 
 
+@jax.jit
+def tables_bf16(dists):
+    """Unquantized bf16 tables — a beyond-reference quality mode.
+
+    int32 accumulation frees us from the reference's overflow-driven
+    int8 quantization; bf16 one-hot matmuls run at the same measured
+    rate as int8 on the MXU (docs/PERFORMANCE.md), so the ~2-3 rank
+    positions the int8 rounding costs at the 90% quantile can be bought
+    back for free. Identity shift/scale keeps the QuantizedTables
+    contract (dequantize is a no-op plus casts).
+    """
+    Q = dists.shape[0]
+    return QuantizedTables(dists.astype(jnp.bfloat16),
+                           jnp.zeros((Q,), jnp.float32),
+                           jnp.ones((Q,), jnp.float32), True)
+
+
 def dequantize_estimates(est_i32, qt: QuantizedTables):
     """Turn int32 accumulated table sums into approximate squared distances.
 

@@ -56,13 +56,16 @@ def estimate_scan_xla(codes, tables, packed: bool = False):
     if packed:
         from .packing import unpack_codes
         codes = unpack_codes(codes)
-    onehot = jax.nn.one_hot(codes, 16, dtype=jnp.int8)  # (n, B, 16)
+    floating = jnp.issubdtype(tables.dtype, jnp.floating)
+    onehot = jax.nn.one_hot(
+        codes, 16, dtype=jnp.bfloat16 if floating else jnp.int8)
     n = codes.shape[0]
     q = tables.shape[0]
     a = onehot.reshape(n, -1)
     b = tables.reshape(q, -1)
     return jax.lax.dot_general(
-        b, a, (((1,), (1,)), ((), ())), preferred_element_type=jnp.int32)
+        b, a, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32 if floating else jnp.int32)
 
 
 def estimate_scan(codes, tables, backend: str = "auto",
@@ -70,6 +73,8 @@ def estimate_scan(codes, tables, backend: str = "auto",
     """Batched PQ estimate; returns int32[Q, n]."""
     if backend == "auto":
         backend = _default_backend()
+    if backend == "pallas" and jnp.issubdtype(tables.dtype, jnp.floating):
+        backend = "xla"  # the Pallas kernel is int8-table only
     if backend == "pallas":
         assert _PALLAS_IMPL is not None, "pallas backend not available"
         return _PALLAS_IMPL(codes, tables, packed)
