@@ -125,3 +125,61 @@ def test_sharded_query_stats_and_skew(mesh):
     recall = np.mean([len(set(a.tolist()) & set(t.tolist())) / 5
                       for a, t in zip(g, trus)])
     assert recall > 0.5, recall
+
+
+def test_2d_mesh_matches_1d(mesh):
+    """queries x clusters 2-D mesh must return the same ids as the 1-D
+    cluster-sharded mesh and the single-device index."""
+    from tinyknn_tpu.parallel import make_mesh_2d
+    n, d, nq = 800, 12, 48
+    X = np.random.randn(n, d).astype(np.float32)
+    qs = np.random.randn(nq, d).astype(np.float32)
+
+    ivf = IVF("euclidean", 16, FastPQ(2), seed=3,
+              queries_per_cluster=64)
+    ivf.fit(X).build(X, n_probes=2)
+    ref = np.asarray(ivf.query(qs, k=5, n_probes=4, mode="bucket"))
+
+    m2 = make_mesh_2d((2, 4), ("queries", "shards"))
+    sivf = ShardedIVF("euclidean", 16, FastPQ(2), mesh=m2,
+                      query_axis="queries", seed=3,
+                      queries_per_cluster=64)
+    sivf.fit(X).build(X, n_probes=2)
+    out = np.asarray(sivf.query(qs, k=5, n_probes=4))
+    assert out.shape == (nq, 5)
+    # same fitted state (same seeds) -> same candidates; compare by
+    # exact-distance dominance like test_sharded_matches_single
+    ge = np.mean([
+        len(set(a.tolist()) & set(b.tolist())) / 5
+        for a, b in zip(out, ref)])
+    assert ge > 0.9, ge
+
+    # non-divisible batch exercises the query padding path
+    out2 = np.asarray(sivf.query(qs[:45], k=5, n_probes=4))
+    np.testing.assert_array_equal(out2, out[:45])
+
+
+def test_sharded_save_load_roundtrip(mesh, tmp_path):
+    """ShardedIVF persists mesh-shape-independent archives; loading
+    onto a different mesh gives identical query results."""
+    from tinyknn_tpu.io import load_sharded_ivf, save_ivf
+    from tinyknn_tpu.parallel import make_mesh
+    n, d, nq = 500, 10, 12
+    X = np.random.randn(n, d).astype(np.float32)
+    qs = np.random.randn(nq, d).astype(np.float32)
+    sivf = ShardedIVF("angular", 12, FastPQ(2), mesh=mesh, seed=1)
+    sivf.fit(X).build(X, n_probes=2)
+    a = np.asarray(sivf.query(qs, k=5, n_probes=3))
+    path = tmp_path / "sivf.npz"
+    save_ivf(path, sivf)
+    # reload on a smaller mesh (4 devices instead of 8)
+    sivf2 = load_sharded_ivf(path, mesh=make_mesh(4))
+    b = np.asarray(sivf2.query(qs, k=5, n_probes=3))
+    np.testing.assert_array_equal(a, b)
+    # and as a plain single-device IVF
+    from tinyknn_tpu.io import load_ivf
+    ivf3 = load_ivf(path)
+    c = np.asarray(ivf3.query(qs, k=5, n_probes=3, mode="bucket"))
+    overlap = np.mean([len(set(x.tolist()) & set(y.tolist())) / 5
+                       for x, y in zip(a, c)])
+    assert overlap > 0.9, overlap

@@ -74,7 +74,18 @@ def load_pq(path) -> FastPQ:
 
 
 def save_ivf(path, ivf: IVF):
+    """Persist a built IVF (or ShardedIVF: the mesh-padded grids are
+    stripped to their true cluster count, so the archive is
+    mesh-shape-independent and can be re-sharded on load)."""
     assert ivf.list_codes is not None, "save_ivf: index not built"
+    n_real = getattr(ivf, "_n_active_real", None)
+    if n_real is not None:  # sharded: strip mesh padding, drop the
+        import copy         # derivable raw-vector grid
+        ivf = copy.copy(ivf)
+        ivf.list_codes = np.asarray(ivf.list_codes)[:n_real]
+        ivf.list_ids = np.asarray(ivf.list_ids)[:n_real]
+        ivf.list_counts = np.asarray(ivf.list_counts)[:n_real]
+        ivf.active_centers = np.asarray(ivf.active_centers)[:n_real]
     state = _pq_state(ivf.pq)
     np.savez_compressed(
         path, format=np.int32(_FORMAT_VERSION),
@@ -125,3 +136,23 @@ def load_ivf(path) -> IVF:
                                       dtype=jnp.int32)
         ivf.data = jnp.asarray(data["data"])
         return ivf
+
+
+def load_sharded_ivf(path, mesh=None, axis="shards", query_axis=None,
+                     **kw):
+    """Load an IVF archive (sharded or single-device) as a ShardedIVF
+    placed over ``mesh`` — the mesh shape need not match the one the
+    index was saved from (grids are stored unpadded)."""
+    from .parallel.sharded_ivf import ShardedIVF
+
+    base = load_ivf(path)
+    sivf = ShardedIVF.__new__(ShardedIVF)
+    sivf.__dict__.update(base.__dict__)
+    from .parallel.mesh import make_mesh
+    sivf.mesh = mesh if mesh is not None else make_mesh(axis=axis)
+    sivf.axis = axis
+    sivf.query_axis = query_axis
+    sivf.list_vecs = None
+    sivf._place(base.list_codes, base.list_ids, base.list_counts,
+                jnp.asarray(base.active_centers))
+    return sivf

@@ -52,23 +52,28 @@ def _block_perm(B: int):
     return np.concatenate([np.arange(0, B, 2), np.arange(1, B, 2)])
 
 
+def _onehot_tiled(codes_i32):
+    """(rows, B) int32 codes -> (rows, 16B) int8 one-hot, tiled layout
+    (column j <-> center j // B of block j % B).
+
+    Built as 16 compares against constants — materializing the tiled
+    codes (concat x16) and a column iota would write two (rows, 16B)
+    int32 intermediates (~8 MB each at production shapes); this form's
+    biggest intermediate is the int8 output itself. (Mosaic on v5e only
+    compares at 32 bit, hence int32 inputs.)
+    """
+    return jnp.concatenate(
+        [(codes_i32 == v).astype(jnp.int8) for v in range(16)], axis=1)
+
+
 def _estimate_kernel(codes_ref, tables_ref, out_ref, *, packed: bool):
     codes = codes_ref[:]                       # (TILE_N, B or B/2) uint8
     codes = codes.astype(jnp.int32)
     if packed:
         codes = _unpack_evens_odds(codes)
-    tn, B = codes.shape
-    M = B * 16
-    # one-hot expansion in VMEM: onehot[i, b*16 + v] = (codes[i, b] == v)
-    # 2-D one-hot build (Mosaic cannot reshape 3-D predicate vectors).
-    # Tiled layout: column j of the M=16*B axis corresponds to center
-    # j // B of (storage-order) block j % B (tables are permuted to
-    # match outside). Explicit concatenate (not pltpu.repeat, whose
-    # interpret-mode and hardware semantics differ) keeps CPU tests
-    # faithful.
-    codes_tiled = jnp.concatenate([codes] * 16, axis=1)
-    center_of_col = jax.lax.broadcasted_iota(jnp.int32, (tn, M), 1) // B
-    onehot = (codes_tiled == center_of_col).astype(jnp.int8)
+    # one-hot in VMEM: onehot[i, v*B + b] = (codes[i, b] == v); tables
+    # are permuted outside to the same tiled layout.
+    onehot = _onehot_tiled(codes)
     out_ref[:] = jax.lax.dot_general(
         onehot, tables_ref[:], (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.int32)
@@ -138,9 +143,23 @@ register()
 # query_pq scan-plus-heap (reference: tinyknn/_fast_pq.pyx:114-206).
 # --------------------------------------------------------------------
 
+_ENC_BIG = 2**31 - 1  # invalid-entry sentinel in the encoded domain
+
+
 def _scan_select_kernel(counts_ref, tsel_ref, codes_ref, vals_ref, idx_ref,
-                        *, r: int, segments: int = 1,
-                        packed: bool = False):
+                        *, r: int, segments: int = 1, packed: bool = False,
+                        enc_bias: int = 0, col_bits: int = 0):
+    """Per-cluster fused scan + top-r.
+
+    Selection runs in an *encoded int32 domain*: enc = (est + enc_bias)
+    << col_bits | column. One vector min then yields the best value AND
+    its column together (ties break to the lowest column, like
+    lax.top_k), so each extraction is one reduce plus one
+    invalidation pass — the unencoded form needed an argmin
+    reconstruction and separate value/index bookkeeping (~2.5x more VPU
+    passes). col_bits=0 disables encoding (value-range guard failed;
+    float fallback).
+    """
     tsel = tsel_ref[0]                           # (qc, M) int8
     codes = codes_ref[0]                         # (cap, B or B/2) uint8
     count = counts_ref[pl.program_id(0)]         # valid prefix length
@@ -148,26 +167,61 @@ def _scan_select_kernel(counts_ref, tsel_ref, codes_ref, vals_ref, idx_ref,
     if packed:
         codes = _unpack_evens_odds(codes)        # 4-bit HBM, unpacked here
     cap, B = codes.shape
-    M = B * 16
     qc = tsel.shape[0]
-    # tiled one-hot (column j <-> center j // B of block j % B); tables
-    # were permuted to match outside (same layout as _estimate_kernel).
-    # int32 compare (Mosaic on v5e only supports 32-bit comparisons);
-    # the 8MB intermediate at production shapes needs the raised
-    # vmem_limit_bytes below.
-    codes_tiled = jnp.concatenate([codes] * 16, axis=1)
-    center_of_col = jax.lax.broadcasted_iota(jnp.int32, (cap, M), 1) // B
-    onehot = (codes_tiled == center_of_col).astype(jnp.int8)
+    # tiled one-hot; tables were permuted to match outside.
+    onehot = _onehot_tiled(codes)
     est = jax.lax.dot_general(
         tsel, onehot, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.int32)        # (qc, cap)
+    col = jax.lax.broadcasted_iota(jnp.int32, (qc, cap), 1)
+
+    if col_bits > 0:
+        enc = jax.lax.shift_left(est + jnp.int32(enc_bias),
+                                 jnp.int32(col_bits)) | col
+        enc = jnp.where(col < count, enc, _ENC_BIG)
+        mask = jnp.int32((1 << col_bits) - 1)
+
+        def emit(j, m):                          # m: (qc,) int32 minima
+            valid = m < _ENC_BIG
+            v = (jax.lax.shift_right_logical(m, jnp.int32(col_bits))
+                 - jnp.int32(enc_bias)).astype(jnp.float32)
+            vals_ref[0, j, :] = jnp.where(valid, v, jnp.float32(3.4e38))
+            idx_ref[0, j, :] = jnp.where(valid, m & mask, cap)
+
+        if segments == 1:
+            def body(j, enc):
+                m = jnp.min(enc, axis=1)
+                emit(j, m)
+                return jnp.where(enc == m[:, None], _ENC_BIG, enc)
+
+            jax.lax.fori_loop(0, r, body, enc)
+            return
+
+        # Segmented (approximate) top-r: fold the width `segments`-fold
+        # by strided minimum — the encoding keeps the *global* column in
+        # the low bits, so the fold needs no argument tracking — then
+        # extract from the folded (qc, cap/segments) tile. At most one
+        # candidate per folded position survives (the same relaxation
+        # approx_max_k makes); the downstream exact rescore absorbs it.
+        S = cap // segments
+        folded = enc[:, :S]
+        for s in range(1, segments):
+            folded = jnp.minimum(folded, enc[:, s * S:(s + 1) * S])
+
+        def body(j, folded):
+            m = jnp.min(folded, axis=1)
+            emit(j, m)
+            return jnp.where(folded == m[:, None], _ENC_BIG, folded)
+
+        jax.lax.fori_loop(0, r, body, folded)
+        return
+
+    # ---- float fallback (value range too wide for int32 encoding)
     est = est.astype(jnp.float32)
     big = jnp.float32(3.4e38)
-    col = jax.lax.broadcasted_iota(jnp.int32, (qc, cap), 1)
     est = jnp.where(col < count, est, big)       # mask list padding
 
     if segments == 1:
-        # exact top-r: iterative min-extraction over the full width
         def body(j, est):
             m = jnp.min(est, axis=1)                         # (qc,)
             am = jnp.min(jnp.where(est == m[:, None], col, cap), axis=1)
@@ -179,11 +233,6 @@ def _scan_select_kernel(counts_ref, tsel_ref, codes_ref, vals_ref, idx_ref,
         jax.lax.fori_loop(0, r, body, est)
         return
 
-    # Segmented (approximate) top-r: fold the width into `segments`
-    # contiguous slices, keep each segment's min + argmin, then extract
-    # r segment-minima — at most one candidate per segment, the same
-    # relaxation approx_max_k makes, at ~(cap/segments)x less VPU work
-    # per extraction. Downstream exact rescore absorbs the difference.
     S = cap // segments                          # segment width
     seg_min = est[:, :S]
     seg_col = jax.lax.broadcasted_iota(jnp.int32, (qc, S), 1)
@@ -228,9 +277,16 @@ def scan_select_pallas(tables_sel, codes, counts, r: int,
     """
     C, qc, M = tables_sel.shape
     _, cap, Bs = codes.shape
-    assert M == 16 * (2 * Bs if packed else Bs)
+    B = 2 * Bs if packed else Bs
+    assert M == 16 * B
     assert cap % segments == 0
     counts1 = counts.reshape(C).astype(jnp.int32)
+    # int32 value+column encoding bounds (see _scan_select_kernel): the
+    # biased estimate needs log2(256B) bits, the column log2(cap).
+    col_bits = max(1, (cap - 1).bit_length())
+    enc_bias = 128 * B
+    if (255 * B + 1) << col_bits > 2**31 - 1:
+        col_bits = 0  # fall back to the float extraction path
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(C,),
@@ -249,7 +305,7 @@ def scan_select_pallas(tables_sel, codes, counts, r: int,
     )
     vals, pos = pl.pallas_call(
         partial(_scan_select_kernel, r=r, segments=segments,
-                packed=packed),
+                packed=packed, enc_bias=enc_bias, col_bits=col_bits),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((C, r, qc), jnp.float32),

@@ -17,6 +17,16 @@ def make_mesh(n_devices=None, axis: str = "shards") -> Mesh:
     return Mesh(np.array(devs), (axis,))
 
 
+def make_mesh_2d(shape, axis_names=("queries", "shards")) -> Mesh:
+    """2-D mesh: axis 0 shards the query batch (pure data parallelism),
+    axis 1 shards the inverted lists (the index's model parallelism).
+    Collectives ride axis 1 only; axis 0 needs no communication."""
+    n = shape[0] * shape[1]
+    devs = jax.devices()
+    assert n <= len(devs), f"need {n} devices, have {len(devs)}"
+    return Mesh(np.array(devs[:n]).reshape(shape), tuple(axis_names))
+
+
 def shard_on_axis0(mesh: Mesh, *arrays, axis: str = "shards"):
     """Place arrays with dim-0 sharded over the mesh axis."""
     out = []

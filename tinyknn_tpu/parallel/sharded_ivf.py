@@ -32,7 +32,7 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.sharding import PartitionSpec as P
+from jax.sharding import NamedSharding, PartitionSpec as P
 
 from ..models.ivf import IVF, _bucket_scan_round, default_qc0
 from ..models.fast_pq import _resolve_method
@@ -48,25 +48,38 @@ class ShardedIVF(IVF):
     """
 
     def __init__(self, metric, n_clusters, pq=None, mesh=None, axis="shards",
-                 **kw):
+                 query_axis=None, **kw):
+        """``axis`` names the mesh axis sharding the inverted lists.
+        ``query_axis`` (2-D mesh, see make_mesh_2d) additionally shards
+        the query batch — pure data parallelism composed on top of the
+        cluster sharding; collectives still ride only ``axis``."""
         super().__init__(metric, n_clusters, pq, **kw)
         self.mesh = mesh if mesh is not None else make_mesh(axis=axis)
         self.axis = axis
+        self.query_axis = query_axis
+        if query_axis is not None:
+            assert query_axis in self.mesh.axis_names, (query_axis,
+                                                        self.mesh.axis_names)
         self.list_vecs = None
 
     def build(self, X, n_probes=2, verbose=False):
         super().build(X, n_probes, verbose)
-        n_dev = self.mesh.devices.size
-        C, cap, B = self.list_codes.shape
-        # Pad cluster count to a multiple of the mesh size and build the
-        # per-list raw-vector grid — all on device (no host readback).
+        self._place(self.list_codes, self.list_ids, self.list_counts,
+                    self.active_centers)
+        return self
+
+    def _place(self, codes, ids, counts, centers):
+        """Pad the grids to a mesh-size multiple, derive the raw-vector
+        grid, and shard everything over the cluster axis — all on
+        device (no host readback)."""
+        n_dev = self.mesh.shape[self.axis]
+        C = codes.shape[0]
         C_pad = C + (-C) % n_dev
-        codes = jnp.pad(self.list_codes, ((0, C_pad - C), (0, 0), (0, 0)))
-        ids = jnp.pad(self.list_ids, ((0, C_pad - C), (0, 0)),
-                      constant_values=-1)
-        counts = jnp.pad(self.list_counts, (0, C_pad - C))
+        codes = jnp.pad(codes, ((0, C_pad - C), (0, 0), (0, 0)))
+        ids = jnp.pad(ids, ((0, C_pad - C), (0, 0)), constant_values=-1)
+        counts = jnp.pad(counts, (0, C_pad - C))
         vecs = jax.jit(lambda d, i: d[jnp.maximum(i, 0)])(self.data, ids)
-        centers = jnp.pad(self.active_centers, ((0, C_pad - C), (0, 0)),
+        centers = jnp.pad(centers, ((0, C_pad - C), (0, 0)),
                           # padding centers sit far away: never probed
                           constant_values=1e9)
         (self.list_codes, self.list_ids, self.list_counts,
@@ -74,7 +87,6 @@ class ShardedIVF(IVF):
             self.mesh, codes, ids, counts, vecs, axis=self.axis)
         self.active_centers = replicate(self.mesh, centers)
         self._n_active_real = C
-        return self
 
     def query(self, q, k, n_probes=1, pass_1=None, with_stats=False):
         q = np.asarray(q, dtype=np.float32)
@@ -90,13 +102,21 @@ class ShardedIVF(IVF):
         r = min(pass_1, cap)
         r_tail = min(pass_1, cap, max(3 * k, 16))
         pass_1 = min(pass_1, r + (n_probes - 1) * r_tail)
-        n_dev = self.mesh.devices.size
+        from ..utils.padding import round_up
+        c_dev = self.mesh.shape[self.axis]
+        q_dev = self.mesh.shape[self.query_axis] if self.query_axis else 1
         C_pad = self.list_codes.shape[0]
+        true_q = q.shape[0]
+        if true_q % q_dev:  # query-axis sharding needs equal slices
+            q = np.pad(q, ((0, q_dev - true_q % q_dev), (0, 0)))
+        q_local = q.shape[0] // q_dev
+        # capacities are per (query-shard, cluster-shard) pair: each
+        # device buckets its q_local queries over its C_pad/c_dev lists
         qc = self.queries_per_cluster or max(
-            8, 8 * ((5 * q.shape[0] * n_probes * n_dev
+            8, 8 * ((5 * q_local * n_probes * c_dev
                      // (2 * max(C_pad, 1))) // 8 + 1))
         qc0 = self.queries_per_cluster or default_qc0(
-            q.shape[0], max(C_pad // n_dev, 1))
+            q_local, max(C_pad // c_dev, 1))
         method = _resolve_method(self.pass1_method)
         scan_impl = self.scan_impl
         if scan_impl == "auto":
@@ -106,21 +126,23 @@ class ShardedIVF(IVF):
                          and est_bytes < 40 * 2**20 else "xla")
 
         dtable = self.pq._table(q, signed=True)
-        qj = replicate(self.mesh, jnp.asarray(q))
-        tables = replicate(self.mesh, dtable.qt.tables)
+        qspec = P(self.query_axis) if self.query_axis else P()
+        qj = jax.device_put(jnp.asarray(q),
+                            NamedSharding(self.mesh, qspec))
+        tables = jax.device_put(dtable.qt.tables,
+                                NamedSharding(self.mesh, qspec))
         # Same skew-driven drop escalation as the single-chip path
         # (models/ivf.py IVF.query); drops are psum'd across shards.
         check_drops = (not self.queries_per_cluster
                        and (q.shape[0] * n_probes <= 4096 or with_stats))
         attempts = 3 if check_drops else 1
-        from ..utils.padding import round_up
-        qc_full = round_up(q.shape[0] * n_probes, 8)
-        qc0_full = round_up(q.shape[0], 8)
+        qc_full = round_up(q_local * n_probes, 8)
+        qc0_full = round_up(q_local, 8)
         for _attempt in range(attempts):
             out, dropped = _sharded_query(
                 qj, tables, self.active_centers, self.list_codes,
                 self.list_ids, self.list_counts, self.list_vecs,
-                mesh=self.mesh, axis=self.axis,
+                mesh=self.mesh, axis=self.axis, query_axis=self.query_axis,
                 metric=self.metric, k=k, n_probes=n_probes, pass_1=pass_1,
                 r=r, r_tail=r_tail, qc=qc, qc0=qc0, method=method,
                 scan_impl=scan_impl)
@@ -131,11 +153,12 @@ class ShardedIVF(IVF):
             else:
                 qc = min(round_up(4 * qc, 8), qc_full)
                 qc0 = min(round_up(4 * qc0, 8), qc0_full)
+        out = out[:true_q]
         out = out[0] if single else out
         if with_stats:
             return out, {
                 "dropped_probe_pairs": int(dropped),
-                "total_probe_pairs": int(q.shape[0]) * n_probes,
+                "total_probe_pairs": true_q * n_probes,
                 "queries_per_cluster_cap": qc,
                 "queries_per_cluster_cap_round0": qc0,
                 "pass_1": pass_1,
@@ -145,32 +168,36 @@ class ShardedIVF(IVF):
 
 
 @partial(jax.jit,
-         static_argnames=("mesh", "axis", "metric", "k", "n_probes",
-                          "pass_1", "r", "r_tail", "qc", "qc0", "method",
-                          "scan_impl"))
+         static_argnames=("mesh", "axis", "query_axis", "metric", "k",
+                          "n_probes", "pass_1", "r", "r_tail", "qc", "qc0",
+                          "method", "scan_impl"))
 def _sharded_query(q, tables, centers, list_codes, list_ids, list_counts,
-                   list_vecs, *, mesh, axis, metric, k, n_probes, pass_1,
-                   r, r_tail, qc, qc0, method, scan_impl):
+                   list_vecs, *, mesh, axis, query_axis, metric, k,
+                   n_probes, pass_1, r, r_tail, qc, qc0, method, scan_impl):
     spec_s = P(axis)
+    spec_q = P(query_axis) if query_axis else P()
     spec_r = P()
+    psum_axes = (axis,) if query_axis is None else (axis, query_axis)
 
-    step = partial(_shard_local_query, axis=axis, metric=metric, k=k,
+    step = partial(_shard_local_query, axis=axis, psum_axes=psum_axes,
+                   metric=metric, k=k,
                    n_probes=n_probes, pass_1=pass_1, r=r, r_tail=r_tail,
                    qc=qc, qc0=qc0, method=method, scan_impl=scan_impl)
-    # check_vma=False: outputs are replicated by construction (they come
-    # out of an all_gather/psum + identical replicated math), which the
-    # varying-axes checker cannot infer statically.
+    # check_vma=False: outputs are replicated along the cluster axis by
+    # construction (they come out of an all_gather/psum + identical
+    # replicated math), which the varying-axes checker cannot infer
+    # statically. Along a query axis each device owns its query slice.
     ids, d2, dropped = jax.shard_map(
         step, mesh=mesh,
-        in_specs=(spec_r, spec_r, spec_r, spec_s, spec_s, spec_s, spec_s),
-        out_specs=(spec_r, spec_r, spec_r), check_vma=False,
+        in_specs=(spec_q, spec_q, spec_r, spec_s, spec_s, spec_s, spec_s),
+        out_specs=(spec_q, spec_q, spec_r), check_vma=False,
     )(q, tables, centers, list_codes, list_ids, list_counts, list_vecs)
     return ids, dropped
 
 
 def _shard_local_query(q, tables, centers, codes_l, ids_l, counts_l,
-                       vecs_l, *, axis, metric, k, n_probes, pass_1, r,
-                       r_tail, qc, qc0, method, scan_impl):
+                       vecs_l, *, axis, psum_axes, metric, k, n_probes,
+                       pass_1, r, r_tail, qc, qc0, method, scan_impl):
     """Per-shard body: local two-round bucketed scan (shared with the
     single-chip path, models/ivf.py) + local rescore + gather-merge."""
     Q, d = q.shape
@@ -258,7 +285,7 @@ def _shard_local_query(q, tables, centers, codes_l, ids_l, counts_l,
     out_ids = jnp.take_along_axis(all_ids, best, axis=1)
     out_d2 = jnp.take_along_axis(all_d2, best, axis=1)
     out_ids = jnp.where(jnp.isfinite(out_d2), out_ids, -1)
-    return out_ids, out_d2, jax.lax.psum(dropped, axis)
+    return out_ids, out_d2, jax.lax.psum(dropped, psum_axes)
 
 
 def lloyd_step_dp(X, centers, mesh, axis: str = "shards"):
