@@ -46,6 +46,81 @@ def test_pallas_packed_matches_xla(n, b, q):
     np.testing.assert_array_equal(a, x)
 
 
+def _csr_oracle(tables, codes, flat_ids, tile_offsets, counts, r, W):
+    """Exact NumPy model of scan_select_csr: per (cluster, query slot),
+    fold list positions into W*128 classes keeping the (value, position)
+    minimum, then the r smallest class survivors."""
+    C, qc, M = tables.shape
+    B = M // 16
+    vals = np.full((C, r, qc), 3.4e38, np.float32)
+    pos_out = np.full((C, r, qc), -1, np.int32)
+    for c in range(C):
+        L = int(counts[c])
+        ids = flat_ids[tile_offsets[c] * 128:tile_offsets[c] * 128 + L]
+        t = tables[c].reshape(qc, 16, B)          # tiled layout row v*B+b
+        for q in range(qc):
+            est = np.array([sum(int(t[q, codes[i, b], b])
+                                for b in range(B)) for i in ids])
+            cls = (np.arange(L) // 128 % W) * 128 + np.arange(L) % 128
+            best = {}
+            for p in range(L):
+                key = (int(est[p]), p)
+                if cls[p] not in best or key < best[cls[p]]:
+                    best[cls[p]] = key
+            top = sorted(best.values())[:r]
+            for j, (v, p) in enumerate(top):
+                vals[c, j, q] = v
+                pos_out[c, j, q] = p
+    return vals, pos_out
+
+
+@pytest.mark.parametrize("W", [1, 2])
+def test_scan_select_csr_matches_oracle(W):
+    from tinyknn_tpu.ops.kernels import (
+        pack_codes_tiled, permute_tables_csr, permute_tables_tiled,
+        scan_select_csr)
+    from tinyknn_tpu.ops.packing import pack_codes
+    from tinyknn_tpu.utils.grouping import invert_assignments_csr_tiled
+    rng = np.random.default_rng(3)
+    n, B, C, qc, r = 500, 8, 4, 8, 6
+    # skewed assignment incl. an empty list and a >128-long list
+    assign = rng.choice(C, size=(n, 1), p=[0.7, 0.25, 0.05, 0.0])
+    codes = rng.integers(0, 16, size=(n, B), dtype=np.uint8)
+    tables = rng.integers(-128, 128, size=(C, qc, B * 16)).astype(np.int8)
+
+    flat_ids, toff, counts = invert_assignments_csr_tiled(assign, C)
+    codes_tiled = np.asarray(
+        pack_codes_tiled(np.asarray(pack_codes(codes)), flat_ids))
+    # B=8 -> Bs=4 pads to 8 in storage; tables get zero phantom rows
+    t_k = np.asarray(permute_tables_csr(tables, B))
+    max_tiles = max(1, int(-(-counts.max() // 128)))
+    v, p = scan_select_csr(t_k, codes_tiled, toff, counts, r,
+                           fold_tiles=W, max_tiles=max_tiles,
+                           interpret=True)
+    ev, ep = _csr_oracle(permute_tables_tiled(tables, B), codes,
+                         flat_ids, toff, counts, r, W)
+    np.testing.assert_array_equal(np.asarray(p), ep)
+    np.testing.assert_array_equal(np.asarray(v), ev)
+
+
+def test_csr_tiled_builder():
+    from tinyknn_tpu.utils.grouping import (
+        invert_assignments_csr, invert_assignments_csr_tiled)
+    rng = np.random.default_rng(0)
+    assign = rng.integers(0, 7, size=(300, 2))
+    flat, toff, counts = invert_assignments_csr_tiled(assign, 7)
+    ref_flat, ref_off = invert_assignments_csr(assign, 7)
+    assert flat.shape[0] % 128 == 0
+    assert np.all(flat[-128:] == -1)              # guard tile
+    for c in range(7):
+        got = flat[toff[c] * 128:toff[c] * 128 + counts[c]]
+        want = ref_flat[ref_off[c]:ref_off[c + 1]]
+        np.testing.assert_array_equal(got, want)
+        pad = flat[toff[c] * 128 + counts[c]:
+                   (toff[c] + -(-counts[c] // 128)) * 128]
+        assert np.all(pad == -1)
+
+
 def test_scan_select_packed_matches_unpacked():
     """Fused scan+select kernel: packed and unpacked inputs give
     identical candidates (interpret mode)."""

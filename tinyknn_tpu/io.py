@@ -17,9 +17,13 @@ import numpy as np
 from .models.fast_pq import FastPQ
 from .models.ivf import IVF
 
-# v2: list_codes stored nibble-packed (uint8, two 4-bit codes/byte);
-# v1 archives (one code per byte) are packed on load.
-_FORMAT_VERSION = 2
+# v3: inverted lists stored CSR-tiled (csr_codes uint8[T, Bs, 128] +
+#     flat csr_ids + tile_offsets) — reference-equal memory, no
+#     pad-to-max-length grid.
+# v2: dense (C, cap) grid, codes nibble-packed (two 4-bit codes/byte).
+# v1: dense grid, one code per byte.
+# v1/v2 archives are converted to CSR on load.
+_FORMAT_VERSION = 3
 
 
 def _pq_state(pq: FastPQ) -> dict:
@@ -73,19 +77,51 @@ def load_pq(path) -> FastPQ:
         return _pq_restore(data)
 
 
+def _unshard_csr(ivf):
+    """Reassemble the global CSR arrays from a ShardedIVF's per-shard
+    stacked form (see ShardedIVF._place): strip each shard's tile
+    padding and re-base the offsets."""
+    starts, stops, Cl, C = ivf._shard_meta
+    n_dev = len(starts)
+    T_l = ivf._shard_tiles
+    codes_st = np.asarray(ivf.csr_codes).reshape(
+        n_dev, T_l, *np.asarray(ivf.csr_codes).shape[1:])
+    ids_st = np.asarray(ivf.csr_ids).reshape(n_dev, T_l * 128)
+    toff_st = np.asarray(ivf.tile_offsets).reshape(n_dev, Cl)
+    counts_st = np.asarray(ivf.list_counts).reshape(n_dev, Cl)
+    codes_parts, ids_parts, toffs, counts = [], [], [], []
+    base = 0
+    for s in range(n_dev):
+        n_t = int(stops[s] - starts[s])
+        codes_parts.append(codes_st[s, :n_t])
+        ids_parts.append(ids_st[s, :n_t * 128])
+        toffs.append(toff_st[s] + base)
+        counts.append(counts_st[s])
+        base += n_t
+    guard = np.zeros_like(codes_st[0, :1])
+    csr_codes = np.concatenate(codes_parts + [guard])
+    csr_ids = np.concatenate(
+        ids_parts + [np.full(128, -1, np.int32)])
+    tile_offsets = np.concatenate(toffs)[:C].astype(np.int32)
+    list_counts = np.concatenate(counts)[:C].astype(np.int32)
+    return csr_codes, csr_ids, tile_offsets, list_counts
+
+
 def save_ivf(path, ivf: IVF):
-    """Persist a built IVF (or ShardedIVF: the mesh-padded grids are
-    stripped to their true cluster count, so the archive is
+    """Persist a built IVF (or ShardedIVF: per-shard padding is
+    stripped and offsets re-based, so the archive is
     mesh-shape-independent and can be re-sharded on load)."""
-    assert ivf.list_codes is not None, "save_ivf: index not built"
-    n_real = getattr(ivf, "_n_active_real", None)
-    if n_real is not None:  # sharded: strip mesh padding, drop the
-        import copy         # derivable raw-vector grid
-        ivf = copy.copy(ivf)
-        ivf.list_codes = np.asarray(ivf.list_codes)[:n_real]
-        ivf.list_ids = np.asarray(ivf.list_ids)[:n_real]
-        ivf.list_counts = np.asarray(ivf.list_counts)[:n_real]
-        ivf.active_centers = np.asarray(ivf.active_centers)[:n_real]
+    assert ivf.csr_codes is not None, "save_ivf: index not built"
+    if getattr(ivf, "_n_active_real", None) is not None:  # sharded
+        csr_codes, csr_ids, tile_offsets, list_counts = _unshard_csr(ivf)
+        active_centers = np.asarray(ivf.active_centers)[
+            :ivf._n_active_real]
+    else:
+        csr_codes = np.asarray(ivf.csr_codes)
+        csr_ids = np.asarray(ivf.csr_ids)
+        tile_offsets = np.asarray(ivf.tile_offsets)
+        list_counts = np.asarray(ivf.list_counts)
+        active_centers = np.asarray(ivf.active_centers)
     state = _pq_state(ivf.pq)
     np.savez_compressed(
         path, format=np.int32(_FORMAT_VERSION),
@@ -100,12 +136,37 @@ def save_ivf(path, ivf: IVF):
             "scan_impl": ivf.scan_impl,
         }).encode(), dtype=np.uint8),
         all_centers=np.asarray(ivf.all_centers),
-        active_centers=np.asarray(ivf.active_centers),
-        list_codes=np.asarray(ivf.list_codes),
-        list_ids=np.asarray(ivf.list_ids),
-        list_counts=np.asarray(ivf.list_counts),
+        active_centers=active_centers,
+        csr_codes=csr_codes,
+        csr_ids=csr_ids,
+        tile_offsets=tile_offsets,
+        list_counts=list_counts,
         data=np.asarray(ivf.data),
         **state)
+
+
+def _dense_grid_to_csr(list_codes, list_ids, counts):
+    """Convert a v1/v2 dense (C, cap, ...) list grid to the CSR tile
+    layout (host-side; load path only; mirrors pack_codes_tiled)."""
+    from .utils.padding import round_up
+    C, cap, Bs = list_codes.shape
+    counts = np.asarray(counts).astype(np.int64)
+    ntiles = -(-counts // 128)
+    toff = np.zeros(C, np.int64)
+    np.cumsum(ntiles[:-1], out=toff[1:])
+    total = int(ntiles.sum()) + 1
+    flat_ids = np.full(total * 128, -1, np.int32)
+    flat_codes = np.zeros((total * 128, Bs), np.uint8)
+    for c in range(C):
+        L = int(counts[c])
+        s = int(toff[c]) * 128
+        flat_ids[s:s + L] = list_ids[c, :L]
+        flat_codes[s:s + L] = list_codes[c, :L]
+    rows = np.pad(flat_codes,
+                  ((0, 0), (0, round_up(Bs, 8) - Bs)))
+    csr_codes = rows.reshape(total, 128, -1).transpose(0, 2, 1)
+    return (csr_codes, flat_ids, toff.astype(np.int32),
+            counts.astype(np.int32))
 
 
 def load_ivf(path) -> IVF:
@@ -123,17 +184,29 @@ def load_ivf(path) -> IVF:
         ivf.pq = pq
         ivf.all_centers = np.asarray(data["all_centers"])
         ivf.active_centers = jnp.asarray(data["active_centers"])
-        codes = jnp.asarray(data["list_codes"])
-        if int(data["format"]) < 2:  # v1: unpacked, one code per byte
-            from .ops.packing import pack_codes
-            codes = pack_codes(codes)
-        ivf.list_codes = codes
-        ivf.list_ids = jnp.asarray(data["list_ids"])
-        if "list_counts" in data:
-            ivf.list_counts = jnp.asarray(data["list_counts"])
-        else:  # older archives: recover from the id grid
-            ivf.list_counts = jnp.sum(ivf.list_ids >= 0, axis=1,
-                                      dtype=jnp.int32)
+        if int(data["format"]) >= 3:
+            csr_codes = np.asarray(data["csr_codes"])
+            csr_ids = np.asarray(data["csr_ids"])
+            tile_offsets = np.asarray(data["tile_offsets"])
+            list_counts = np.asarray(data["list_counts"])
+        else:  # v1/v2 dense grids
+            codes = np.asarray(data["list_codes"])
+            if int(data["format"]) < 2:  # v1: one code per byte
+                from .ops.packing import pack_codes
+                codes = np.asarray(pack_codes(codes))
+            list_ids = np.asarray(data["list_ids"])
+            if "list_counts" in data:
+                counts = np.asarray(data["list_counts"])
+            else:
+                counts = np.sum(list_ids >= 0, axis=1).astype(np.int32)
+            csr_codes, csr_ids, tile_offsets, list_counts = (
+                _dense_grid_to_csr(codes, list_ids, counts))
+        ivf.csr_codes = jnp.asarray(csr_codes)
+        ivf.csr_ids = jnp.asarray(csr_ids)
+        ivf.tile_offsets = jnp.asarray(tile_offsets)
+        ivf.list_counts = jnp.asarray(list_counts)
+        ivf.max_tiles = max(
+            1, int(-(-int(list_counts.max(initial=0)) // 128)))
         ivf.data = jnp.asarray(data["data"])
         return ivf
 
@@ -142,7 +215,7 @@ def load_sharded_ivf(path, mesh=None, axis="shards", query_axis=None,
                      **kw):
     """Load an IVF archive (sharded or single-device) as a ShardedIVF
     placed over ``mesh`` — the mesh shape need not match the one the
-    index was saved from (grids are stored unpadded)."""
+    index was saved from (the archive stores the unsharded CSR)."""
     from .parallel.sharded_ivf import ShardedIVF
 
     base = load_ivf(path)
@@ -153,6 +226,5 @@ def load_sharded_ivf(path, mesh=None, axis="shards", query_axis=None,
     sivf.axis = axis
     sivf.query_axis = query_axis
     sivf.list_vecs = None
-    sivf._place(base.list_codes, base.list_ids, base.list_counts,
-                jnp.asarray(base.active_centers))
+    sivf._place()
     return sivf

@@ -7,9 +7,15 @@ nearest lists with a shared candidate pool, exact fp32 rescore.
 
 TPU-first re-design (none of this is a translation):
 
-  * inverted lists are a dense padded grid — ``list_codes[C, cap, B]``
-    uint8 and ``list_ids[C, cap]`` int32 (-1 = padding) — instead of
-    Python lists of arrays (reference: tinyknn/ivf.py:14,100-102);
+  * inverted lists are CSR-tiled: codes live in a flat tile array
+    ``csr_codes[T, B/2, 128]`` (nibble-packed blocks on sublanes,
+    points on lanes) where list i owns ``ceil(len_i / 128)``
+    consecutive tiles starting at ``tile_offsets[i]``, with flat ids
+    ``csr_ids[T * 128]`` (-1 = padding) — instead of Python lists of
+    arrays (reference: tinyknn/ivf.py:14,100-102). Memory is
+    ~len-rounded-to-128 per list (reference-equal 4 bits/block plus
+    <=6% lane padding); the earlier dense pad-to-max-length grid
+    wasted ~2.5x on Zipf-ish cluster sizes;
   * queries are processed in batches and *bucketed by cluster*: the
     (query, probe) pairs of a batch are inverted into per-cluster query
     lists, so each list is scanned once per batch as a single
@@ -34,15 +40,42 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..utils.bruteforce import knn_brute
-from ..utils.grouping import invert_assignments
+from ..utils.grouping import invert_assignments_csr_tiled
 from ..utils.padding import round_up
 from ..utils.timing import timer
+from ..ops.kernels import LANE_TILE, pack_codes_tiled
 from ..ops.kmeans import kmeans_fit
 from ..ops.packing import unpack_codes
 from ..ops.topk import dedup_candidates
 from .fast_pq import FastPQ, _build_tables, _resolve_method, pass1_topk
 
 CLUSTER_CHUNK = 8  # clusters scanned per lax.map step in the XLA path
+
+
+def _tiles_to_dense(csr_codes, tile_offsets, max_tiles: int):
+    """Gather each list's tiles into a dense (C, cap, Bs) view.
+
+    The XLA fallback scan and the gather (latency) mode want dense
+    per-list blocks; a list is ``max_tiles`` consecutive tiles starting
+    at ``tile_offsets`` (over-reads into the next list are masked by
+    counts downstream). tile_offsets may be any integer shape (...,);
+    output is (..., max_tiles * 128, Bs).
+    """
+    T = csr_codes.shape[0]
+    idx = tile_offsets[..., None] + jnp.arange(max_tiles, dtype=jnp.int32)
+    idx = jnp.minimum(idx, T - 1)
+    tiles = csr_codes[idx]            # (..., mt, Bs, 128)
+    tiles = jnp.swapaxes(tiles, -1, -2)   # (..., mt, 128, Bs)
+    shape = tiles.shape[:-3] + (max_tiles * LANE_TILE, tiles.shape[-1])
+    return tiles.reshape(shape)
+
+
+def _rows_of(tile_offsets, cap: int, n_rows: int):
+    """Flat row indices (..., cap) of each list's slots in csr_ids /
+    flat vector space (clipped; over-read masked by counts)."""
+    rows = (tile_offsets.astype(jnp.int32) * LANE_TILE)[..., None] \
+        + jnp.arange(cap, dtype=jnp.int32)
+    return jnp.minimum(rows, n_rows - 1)
 
 
 class IVF:
@@ -61,11 +94,13 @@ class IVF:
         self.queries_per_cluster = queries_per_cluster
         self.pass1_method = pass1_method
         self.scan_impl = scan_impl
-        self.list_counts = None
+        self.list_counts = None  # (C,) int32 true list lengths
         self.all_centers = None
         self.active_centers = None
-        self.list_codes = None   # (C, cap, B/2) uint8, nibble-packed
-        self.list_ids = None     # (C, cap)      int32, -1 padding
+        self.csr_codes = None    # (T, B/2, 128) uint8 code tiles
+        self.csr_ids = None      # (T * 128,) int32, -1 padding
+        self.tile_offsets = None  # (C,) int32, list i starts at tile [i]
+        self.max_tiles = None    # host int: longest list in tiles
         self.data = None         # (n, d) f32 (normalized when angular)
 
     # --------------------------------------------------------------- fit
@@ -129,17 +164,20 @@ class IVF:
 
         with timer(verbose, "Encoding points into lists..."):
             # codes arrive nibble-packed (4 bits/block, reference-equal
-            # memory: tinyknn/_transform.py:4-77); the grid stores them
-            # packed and the scans unpack on-chip.
+            # memory: tinyknn/_transform.py:4-77) and are laid out CSR:
+            # each list = ceil(len/128) consecutive (B/2, 128) tiles.
+            # The scans unpack on-chip.
             true_n, codes = self.pq.transform(data)
-            ids, counts = invert_assignments(nearest, len(active), pad_to=8)
-            ids = jnp.asarray(ids)
-            # Device-side gather into the grid; padding slots reuse row
-            # 0's codes but are masked by id -1 at query time.
-            self.list_codes = jax.jit(
-                lambda c, i: c[jnp.maximum(i, 0)])(codes, ids)
-            self.list_ids = ids
+            flat_ids, toff, counts = invert_assignments_csr_tiled(
+                nearest, len(active), tile=LANE_TILE)
+            self.csr_ids = jnp.asarray(flat_ids)
+            # Device-side gather into tiles; padding slots reuse row 0's
+            # codes but are masked by list counts at query time.
+            self.csr_codes = pack_codes_tiled(codes, self.csr_ids)
+            self.tile_offsets = jnp.asarray(toff)
             self.list_counts = jnp.asarray(counts.astype(np.int32))
+            self.max_tiles = max(
+                1, int(-(-int(counts.max(initial=0)) // LANE_TILE)))
         return self
 
     # ------------------------------------------------------------- query
@@ -158,7 +196,7 @@ class IVF:
         additionally returns a diagnostics dict (probe pairs dropped by
         the bucket capacity, configured capacities).
         """
-        assert self.list_codes is not None, (
+        assert self.csr_codes is not None, (
             "IVF index is empty: call fit(X) and build(X) before query")
         q = np.asarray(q, dtype=np.float32)
         single = q.ndim == 1
@@ -167,7 +205,7 @@ class IVF:
         n_active = self.active_centers.shape[0]
         n_probes = min(n_probes, n_active)
         k = min(k, int(self.data.shape[0]))
-        cap = self.list_codes.shape[1]
+        cap = self.max_tiles * LANE_TILE
         if pass_1 is None:
             pass_1 = (n_probes + 1) * k + 1
         # Deep candidate budget for each query's nearest cluster (it
@@ -184,21 +222,23 @@ class IVF:
         if mode == "auto":
             mode = "gather" if q.shape[0] * n_probes <= 64 else "bucket"
         method = _resolve_method(self.pass1_method)
-        # fused Pallas scan+select when the per-cluster working set fits
-        # VMEM comfortably; the XLA path is the fallback and oracle
+        # fused CSR Pallas scan+select whenever the working set fits
+        # VMEM and the int32 value+position encoding has headroom; the
+        # XLA path is the fallback and oracle.
         scan_impl = self.scan_impl
         if scan_impl == "auto":
-            est_bytes = (max(qc, 8) * cap * 4
-                         + cap * 2 * self.list_codes.shape[2] * 17)
             scan_impl = ("fused" if jax.default_backend() == "tpu"
-                         and est_bytes < 40 * 2**20 else "xla")
+                         and _fused_ok(max(qc, qc0), self.pq, cap)
+                         else "xla")
 
         if mode == "gather":
             out = _ivf_query_gather(
                 jnp.asarray(q), self.pq.center_blocks, self.pq.R,
-                self.active_centers, self.list_codes, self.list_ids,
+                self.active_centers, self.csr_codes, self.csr_ids,
+                self.tile_offsets, self.list_counts,
                 self.data, dpb=self.pq.dims_per_block, metric=self.metric,
-                k=k, n_probes=n_probes, pass_1=pass_1)
+                k=k, n_probes=n_probes, pass_1=pass_1,
+                max_tiles=self.max_tiles)
             dropped = jnp.int32(0)
         else:
             # Drop-aware escalation: a skewed query batch (everyone near
@@ -221,12 +261,12 @@ class IVF:
             for _attempt in range(attempts):
                 out, dropped = _ivf_query(
                     jnp.asarray(q), self.pq.center_blocks, self.pq.R,
-                    self.active_centers, self.list_codes, self.list_ids,
-                    self.list_counts, self.data,
+                    self.active_centers, self.csr_codes, self.csr_ids,
+                    self.tile_offsets, self.list_counts, self.data,
                     dpb=self.pq.dims_per_block, metric=self.metric,
                     k=k, n_probes=n_probes, pass_1=pass_1, r=r,
                     r_tail=r_tail, qc=qc, qc0=qc0, method=method,
-                    scan_impl=scan_impl)
+                    scan_impl=scan_impl, max_tiles=self.max_tiles)
                 if _attempt + 1 == attempts or int(dropped) == 0:
                     break
                 if _attempt + 2 == attempts:  # last try: can't-drop caps
@@ -248,24 +288,48 @@ class IVF:
         return out
 
 
-def _bucket_scan_round(probe_sub, tables_flat, list_codes, list_ids,
-                       list_counts, qc: int, r: int, method: str,
-                       scan_impl: str):
+def _fold_tiles(r: int, max_tiles: int) -> int:
+    """Fold width (in 128-lane tiles) for the CSR kernel: ~8x headroom
+    over r keeps position-class collisions (the fold's approximation)
+    negligible; never wider than the longest list."""
+    return max(1, min(max_tiles, -(-8 * r // LANE_TILE)))
+
+
+def _fused_ok(qc: int, pq, cap: int) -> bool:
+    """Whether the fused CSR kernel can run this query shape: int8
+    tables only, the int32 value+position encoding must fit, and the
+    per-cluster VMEM working set must be comfortable."""
+    if pq.table_dtype != "int8":
+        return False
+    B = pq.center_blocks.shape[0]
+    col_bits = max(1, (cap - 1).bit_length())
+    if (255 * B + 1) << col_bits > 2**31 - 1:
+        return False
+    vmem = qc * (16 * B + 8 * LANE_TILE) + 64 * B * LANE_TILE
+    return vmem < 64 * 2**20
+
+
+def _bucket_scan_round(probe_sub, tables_flat, csr_codes, csr_ids,
+                       tile_offsets, list_counts, qc: int, r: int,
+                       method: str, scan_impl: str, max_tiles: int):
     """One bucketed scan round over a probe subset.
 
     probe_sub: (Q, Ps) cluster ids. Buckets the (query, probe) pairs by
     cluster (sort + run-position, static capacity ``qc``), scans each
     cluster once as a shared one-hot x tables int8 matmul on the MXU,
     keeps the top-``r`` candidates per (cluster, query-slot), and
-    gathers them back per query. Returns ((Q, Ps, r) vals, ids, dropped
-    pair count).
+    gathers them back per query. Returns ((Q, Ps, r) vals, ids,
+    flat row positions, dropped pair count).
 
-    scan_impl: 'fused' uses the Pallas scan+select kernel (estimate
-    matrix never leaves VMEM; ~2x the XLA path); 'xla' is the portable
-    path and the oracle.
+    scan_impl: 'fused' uses the ragged CSR Pallas kernel (only actual
+    list tiles are scanned; the estimate matrix never leaves VMEM);
+    'xla' is the portable fallback/oracle (densifies each list to
+    ``max_tiles`` tiles per cluster chunk).
     """
     Q, Ps = probe_sub.shape
-    C, cap, _ = list_codes.shape                      # codes nibble-packed
+    C = tile_offsets.shape[0]
+    n_rows = csr_ids.shape[0]
+    cap = max_tiles * LANE_TILE
     M = tables_flat.shape[1]                          # 16 * B
 
     pairs = probe_sub.reshape(-1)                     # (Q*Ps,)
@@ -289,22 +353,20 @@ def _bucket_scan_round(probe_sub, tables_flat, list_codes, list_ids,
     slot_orig = slot_orig.reshape(Q, Ps)
 
     if scan_impl == "fused":
-        from ..ops.kernels import scan_select_pallas
+        from ..ops.kernels import scan_select_csr
         # tables already in the kernel's tiled layout (see _ivf_query)
         t_sel = tables_flat[jnp.maximum(qgrid, 0)]    # (C, qc, M) int8
-        # segmented (approx) extraction when there is comfortable slack
-        # between r and the segment count; exact otherwise
-        segments = 8 if (method == "approx" and cap % 8 == 0
-                         and cap // 8 >= 4 * r) else 1
-        vals, pos = scan_select_pallas(
-            t_sel, list_codes, list_counts, r, segments=segments,
-            packed=True, interpret=jax.default_backend() != "tpu")
+        vals, lpos = scan_select_csr(
+            t_sel, csr_codes, tile_offsets, list_counts, r,
+            fold_tiles=_fold_tiles(r, max_tiles), max_tiles=max_tiles,
+            interpret=jax.default_backend() != "tpu")
         cand_vals = jnp.swapaxes(vals, 1, 2)          # (C, qc, r)
-        pos = jnp.swapaxes(pos, 1, 2)
-        valid = cand_vals < jnp.float32(1e37)
-        crange = jax.lax.broadcasted_iota(jnp.int32, pos.shape, 0)
-        flat_pos = jnp.minimum(crange * cap + pos, C * cap - 1)
-        cand_ids = jnp.where(valid, list_ids.reshape(C * cap)[flat_pos], -1)
+        lpos = jnp.swapaxes(lpos, 1, 2)
+        valid = lpos >= 0
+        rowbase = tile_offsets.astype(jnp.int32) * LANE_TILE  # (C,)
+        flat_pos = jnp.minimum(
+            rowbase[:, None, None] + jnp.maximum(lpos, 0), n_rows - 1)
+        cand_ids = jnp.where(valid, csr_ids[flat_pos], -1)
         cand_vals = jnp.where(valid, cand_vals, jnp.inf)
         cand_pos = jnp.where(valid, flat_pos, 0)
         cand_vals = cand_vals.reshape(C * qc, r)
@@ -313,21 +375,25 @@ def _bucket_scan_round(probe_sub, tables_flat, list_codes, list_ids,
     else:
         n_chunks = -(-C // CLUSTER_CHUNK)
         C_pad = n_chunks * CLUSTER_CHUNK
-        codes_g = jnp.pad(list_codes, ((0, C_pad - C), (0, 0), (0, 0)))
-        ids_g = jnp.pad(list_ids, ((0, C_pad - C), (0, 0)),
-                        constant_values=-1)
+        toff_g = jnp.pad(tile_offsets, (0, C_pad - C))
+        counts_g = jnp.pad(list_counts, (0, C_pad - C))
         qgrid_g = jnp.pad(qgrid, ((0, C_pad - C), (0, 0)),
                           constant_values=-1)
-        cids_g = jnp.arange(C_pad, dtype=jnp.int32)
-        codes_g = codes_g.reshape(n_chunks, CLUSTER_CHUNK, cap, -1)
-        ids_g = ids_g.reshape(n_chunks, CLUSTER_CHUNK, cap)
+        toff_g = toff_g.reshape(n_chunks, CLUSTER_CHUNK)
+        counts_g = counts_g.reshape(n_chunks, CLUSTER_CHUNK)
         qgrid_g = qgrid_g.reshape(n_chunks, CLUSTER_CHUNK, qc)
-        cids_g = cids_g.reshape(n_chunks, CLUSTER_CHUNK)
 
         def scan_chunk(args):
-            codes_k, ids_k, qgrid_k, cids_k = args
-            onehot = jax.nn.one_hot(unpack_codes(codes_k), 16,
-                                    dtype=jnp.int8)
+            toff_k, counts_k, qgrid_k = args
+            codes_k = _tiles_to_dense(csr_codes, toff_k, max_tiles)
+            rows_k = _rows_of(toff_k, cap, n_rows)    # (CH, cap)
+            in_list = (jnp.arange(cap, dtype=jnp.int32)[None, :]
+                       < counts_k[:, None])
+            ids_k = jnp.where(in_list, csr_ids[rows_k], -1)
+            # storage pads the packed width to 8 bytes; phantom blocks
+            # beyond the logical M // 16 are sliced off after unpack
+            onehot = jax.nn.one_hot(unpack_codes(codes_k)[..., :M // 16],
+                                    16, dtype=jnp.int8)
             onehot = onehot.reshape(CLUSTER_CHUNK, cap, M)
             t_sel = tables_flat[jnp.maximum(qgrid_k, 0)]
             est = jax.lax.dot_general(
@@ -338,12 +404,13 @@ def _bucket_scan_round(probe_sub, tables_flat, list_codes, list_ids,
             vals, idx = pass1_topk(-est, r, method)   # (CH, qc, r)
             cand_ids = jnp.take_along_axis(
                 jnp.broadcast_to(ids_k[:, None, :], est.shape), idx, axis=2)
-            flat_pos = (jnp.minimum(cids_k, C - 1)[:, None, None] * cap
-                        + idx)
+            flat_pos = jnp.take_along_axis(
+                jnp.broadcast_to(rows_k[:, None, :], est.shape), idx,
+                axis=2)
             return -vals, cand_ids, flat_pos
 
         cand_vals, cand_ids, cand_pos = jax.lax.map(
-            scan_chunk, (codes_g, ids_g, qgrid_g, cids_g))
+            scan_chunk, (toff_g, counts_g, qgrid_g))
         cand_vals = cand_vals.reshape(C_pad * qc, r)
         cand_ids = cand_ids.reshape(C_pad * qc, r)
         cand_pos = cand_pos.reshape(C_pad * qc, r)
@@ -375,11 +442,12 @@ def default_qc0(Q: int, C: int) -> int:
 
 @partial(jax.jit, static_argnames=("dpb", "metric", "k", "n_probes",
                                    "pass_1", "r", "r_tail", "qc", "qc0",
-                                   "method", "scan_impl"))
-def _ivf_query(q, center_blocks, R, active_centers, list_codes, list_ids,
-               list_counts, data, *, dpb: int, metric: str, k: int,
-               n_probes: int, pass_1: int, r: int, r_tail: int, qc: int,
-               qc0: int, method: str = "exact", scan_impl: str = "xla"):
+                                   "method", "scan_impl", "max_tiles"))
+def _ivf_query(q, center_blocks, R, active_centers, csr_codes, csr_ids,
+               tile_offsets, list_counts, data, *, dpb: int, metric: str,
+               k: int, n_probes: int, pass_1: int, r: int, r_tail: int,
+               qc: int, qc0: int, method: str = "exact",
+               scan_impl: str = "xla", max_tiles: int = 1):
     """The full batched IVF query step — one jitted computation.
 
     Stages (Q queries, C clusters, cap list capacity, P probes):
@@ -396,7 +464,6 @@ def _ivf_query(q, center_blocks, R, active_centers, list_codes, list_ids,
       5. exact fp32 rescore of the survivors, final top-k.
     """
     Q, d = q.shape
-    C, cap, _ = list_codes.shape
     P = n_probes
 
     if metric == "angular":
@@ -406,8 +473,8 @@ def _ivf_query(q, center_blocks, R, active_centers, list_codes, list_ids,
     B = tables.shape[1]
     tables_flat = tables.reshape(Q, B * 16)
     if scan_impl == "fused":
-        from ..ops.kernels import permute_tables_tiled
-        tables_flat = permute_tables_tiled(tables_flat, B, packed=True)
+        from ..ops.kernels import permute_tables_csr
+        tables_flat = permute_tables_csr(tables_flat, B)
 
     # -- 1. probe selection (exact, on MXU)
     qn = jnp.einsum("qd,qd->q", q, q)
@@ -423,13 +490,14 @@ def _ivf_query(q, center_blocks, R, active_centers, list_codes, list_ids,
     # exceed them — dropped pairs (both rounds) feed the caller's retry
     # escalation, and queries_per_cluster overrides the capacity.
     v0, i0, _, drop0 = _bucket_scan_round(
-        probe_sel[:, :1], tables_flat, list_codes, list_ids, list_counts,
-        qc=qc0, r=r, method=method, scan_impl=scan_impl)
+        probe_sel[:, :1], tables_flat, csr_codes, csr_ids, tile_offsets,
+        list_counts, qc=qc0, r=r, method=method, scan_impl=scan_impl,
+        max_tiles=max_tiles)
     if P > 1:
         v1, i1, _, drop1 = _bucket_scan_round(
-            probe_sel[:, 1:], tables_flat, list_codes, list_ids,
-            list_counts, qc=qc, r=r_tail, method=method,
-            scan_impl=scan_impl)
+            probe_sel[:, 1:], tables_flat, csr_codes, csr_ids,
+            tile_offsets, list_counts, qc=qc, r=r_tail, method=method,
+            scan_impl=scan_impl, max_tiles=max_tiles)
         flat_vals = jnp.concatenate(
             [v0.reshape(Q, -1), v1.reshape(Q, -1)], axis=1)
         flat_ids = jnp.concatenate(
@@ -487,20 +555,23 @@ def tune_n_probes(ivf, queries, true_neighbours, k=10, target_recall=0.9,
 
 
 @partial(jax.jit, static_argnames=("dpb", "metric", "k", "n_probes",
-                                   "pass_1"))
-def _ivf_query_gather(q, center_blocks, R, active_centers, list_codes,
-                      list_ids, data, *, dpb: int, metric: str, k: int,
-                      n_probes: int, pass_1: int):
+                                   "pass_1", "max_tiles"))
+def _ivf_query_gather(q, center_blocks, R, active_centers, csr_codes,
+                      csr_ids, tile_offsets, list_counts, data, *,
+                      dpb: int, metric: str, k: int, n_probes: int,
+                      pass_1: int, max_tiles: int):
     """Latency-mode query: gather each query's probed lists directly.
 
     For small batches the bucketed scan wastes work on the (C, qc) grid;
-    here we gather (Q, P, cap) lists and contract per query. The einsum
-    is a batched matvec (VPU-bound), fine at small Q*P — this is the
-    shape of the reference's per-query loop (tinyknn/ivf.py:140-150),
-    kept for single-query latency parity.
+    here we gather each probed list's (max_tiles) code tiles into dense
+    (Q, P, cap) blocks and contract per query. The einsum is a batched
+    matvec (VPU-bound), fine at small Q*P — this is the shape of the
+    reference's per-query loop (tinyknn/ivf.py:140-150), kept for
+    single-query latency parity.
     """
     Q, d = q.shape
-    C, cap, _ = list_codes.shape
+    cap = max_tiles * LANE_TILE
+    n_rows = csr_ids.shape[0]
     P = n_probes
     if metric == "angular":
         q = q / jnp.maximum(jnp.linalg.norm(q, axis=1, keepdims=True), 1e-12)
@@ -513,8 +584,15 @@ def _ivf_query_gather(q, center_blocks, R, active_centers, list_codes,
         preferred_element_type=jnp.float32)
     _, probe_sel = jax.lax.top_k(-d2c, P)             # (Q, P)
 
-    codes_p = unpack_codes(list_codes[probe_sel])     # (Q, P, cap, B)
-    ids_p = list_ids[probe_sel]                       # (Q, P, cap)
+    B = tables.shape[1]
+    toff_p = tile_offsets[probe_sel]                  # (Q, P)
+    codes_p = unpack_codes(
+        _tiles_to_dense(csr_codes, toff_p, max_tiles))[..., :B]
+    # (Q, P, cap, B); phantom storage-pad blocks sliced off
+    rows_p = _rows_of(toff_p, cap, n_rows)            # (Q, P, cap)
+    in_list = (jnp.arange(cap, dtype=jnp.int32)[None, None, :]
+               < list_counts[probe_sel][:, :, None])
+    ids_p = jnp.where(in_list, csr_ids[rows_p], -1)   # (Q, P, cap)
     onehot = jax.nn.one_hot(codes_p, 16, dtype=jnp.int8)
     est = jnp.einsum("qpcbv,qbv->qpc", onehot, tables,
                      preferred_element_type=jnp.int32).astype(jnp.float32)

@@ -318,6 +318,215 @@ def scan_select_pallas(tables_sel, codes, counts, r: int,
     return vals, pos
 
 
+# --------------------------------------------------------------------
+# CSR ragged-list scan+select kernel.
+#
+# The dense-grid kernel above pads every inverted list to the longest
+# list's capacity (~2x wasted scan work on Zipf-ish cluster sizes). Here
+# lists are stored ragged: codes live in a flat tile array
+# uint8[T, Bs, 128] — each list occupies ceil(len/128) consecutive
+# (Bs, 128) tiles (points on lanes, nibble-packed block-pairs on
+# sublanes) — and the kernel walks list i's tiles with double-buffered
+# DMAs from HBM using scalar-prefetched tile offsets. Per tile:
+# unpack -> one-hot -> (qc, M) x (M, 128) MXU matmul -> encoded int32
+# min-fold into a static (qc, 128 * fold_tiles) buffer; after the walk,
+# r min-extraction passes emit the candidates. Only actual list tiles
+# are ever read or scanned — the ragged-lists-on-a-dense-machine
+# problem SURVEY.md §7 names, solved with scalar prefetch.
+# (Reference sidesteps raggedness with Python lists: tinyknn/ivf.py:100.)
+# --------------------------------------------------------------------
+
+LANE_TILE = 128
+
+
+def _onehot_tiled_T(codes_i32):
+    """(B, t) int32 codes -> (16B, t) int8 one-hot, transposed tiled
+    layout: row v * B + b <-> center v of block b. Points stay on the
+    lane axis, so every compare runs at full VPU lane width (the
+    row-layout variant wastes lanes whenever B < 128)."""
+    return jnp.concatenate(
+        [(codes_i32 == v).astype(jnp.int8) for v in range(16)], axis=0)
+
+
+def _unpack_evens_odds_T(codes_i32):
+    """(Bs, t) packed int32 -> (B, t): even blocks (low nibbles) then
+    odd blocks (high nibbles) — the transposed twin of
+    _unpack_evens_odds, matching the same _block_perm table order."""
+    lo = jnp.bitwise_and(codes_i32, 15)
+    hi = jnp.bitwise_and(jax.lax.shift_right_logical(codes_i32, 4), 15)
+    return jnp.concatenate([lo, hi], axis=0)
+
+
+def _scan_select_csr_kernel(toff_ref, counts_ref, tsel_ref, codes_hbm,
+                            vals_ref, idx_ref, buf, folded_scr, sem,
+                            *, r: int, W: int, B: int, enc_bias: int,
+                            col_bits: int):
+    c = pl.program_id(0)
+    off = toff_ref[c]
+    count = counts_ref[c]
+    n_t = jax.lax.div(count + LANE_TILE - 1, LANE_TILE)
+    tsel = tsel_ref[0]                            # (qc, M) int8
+    qc = tsel.shape[0]
+    S = W * LANE_TILE
+    folded_scr[...] = jnp.full((qc, S), _ENC_BIG, jnp.int32)
+
+    def tile_dma(slot, t):
+        return pltpu.make_async_copy(
+            codes_hbm.at[off + t], buf.at[slot], sem.at[slot])
+
+    @pl.when(n_t > 0)
+    def _():
+        tile_dma(0, 0).start()
+
+    lane = jax.lax.broadcasted_iota(jnp.int32, (qc, LANE_TILE), 1)
+
+    def body(t, _):
+        slot = jax.lax.rem(t, 2)
+
+        @pl.when(t + 1 < n_t)
+        def _():
+            tile_dma(1 - slot, t + 1).start()
+
+        tile_dma(slot, t).wait()
+        codes = buf[slot].astype(jnp.int32)       # (Bs, 128)
+        codes = _unpack_evens_odds_T(codes)       # (B, 128)
+        onehot = _onehot_tiled_T(codes)           # (16B, 128) int8
+        est = jax.lax.dot_general(
+            tsel, onehot, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32)     # (qc, 128)
+        pos = t * LANE_TILE + lane                # position within list
+        enc = jax.lax.shift_left(est + jnp.int32(enc_bias),
+                                 jnp.int32(col_bits)) | pos
+        enc = jnp.where(pos < count, enc, _ENC_BIG)
+        seg = pl.multiple_of(jax.lax.rem(t, W) * LANE_TILE, LANE_TILE)
+        folded_scr[:, pl.ds(seg, LANE_TILE)] = jnp.minimum(
+            folded_scr[:, pl.ds(seg, LANE_TILE)], enc)
+        return 0
+
+    jax.lax.fori_loop(0, n_t, body, 0)
+
+    mask = jnp.int32((1 << col_bits) - 1)
+
+    def extract(j, folded):
+        m = jnp.min(folded, axis=1)               # (qc,)
+        valid = m < _ENC_BIG
+        v = (jax.lax.shift_right_logical(m, jnp.int32(col_bits))
+             - jnp.int32(enc_bias)).astype(jnp.float32)
+        vals_ref[0, j, :] = jnp.where(valid, v, jnp.float32(3.4e38))
+        idx_ref[0, j, :] = jnp.where(valid, m & mask, -1)
+        return jnp.where(folded == m[:, None], _ENC_BIG, folded)
+
+    jax.lax.fori_loop(0, r, extract, folded_scr[...])
+
+
+@partial(jax.jit, static_argnames=("r", "fold_tiles", "max_tiles",
+                                   "interpret"))
+def scan_select_csr(tables_sel, codes_tiled, tile_offsets, counts, r: int,
+                    fold_tiles: int = 4, max_tiles: int = 1,
+                    interpret: bool = False):
+    """Ragged fused scan + top-r over CSR-tiled inverted lists.
+
+    tables_sel: int8[C, qc, M] bucketed query tables, rows in the tiled
+        one-hot layout with *storage* (evens-then-odds) block order —
+        permute_tables_tiled(packed=True), same as the dense kernel.
+    codes_tiled: uint8[T, Bs, 128] — nibble-packed code tiles; list i
+        owns tiles [tile_offsets[i], tile_offsets[i] + ceil(counts[i] /
+        128)) (invert_assignments_csr_tiled layout, including its guard
+        tile so the double-buffer look-ahead can't read out of bounds).
+    tile_offsets, counts: int32[C] (scalar-prefetched).
+    r: candidates per (cluster, query slot).
+    fold_tiles: W — fold width in tiles. The running min-fold keeps, per
+        query, the best candidate of each of the W*128 position classes
+        (position mod W*128); at most one survivor per class, the same
+        relaxation as approx_max_k / the dense kernel's ``segments``.
+    max_tiles: max list length in tiles (static; sizes the position
+        bit-field of the encoded int32 domain).
+
+    Returns (vals f32[C, r, qc], pos int32[C, r, qc]) — estimate values
+    and positions *within the list* (-1 = no candidate).
+    """
+    C, qc, M = tables_sel.shape
+    B = M // 16
+    assert B == 2 * codes_tiled.shape[1], "codes must be nibble-packed"
+    assert codes_tiled.shape[2] == LANE_TILE
+    col_bits = max(1, (max_tiles * LANE_TILE - 1).bit_length())
+    enc_bias = 128 * B
+    assert (255 * B + 1) << col_bits <= 2**31 - 1, (
+        f"list too long for int32 encoding: max_tiles={max_tiles}, B={B};"
+        " use scan_impl='xla'")
+    W = fold_tiles
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(C,),
+        in_specs=[
+            pl.BlockSpec((1, qc, M), lambda i, toff, cnt: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, r, qc), lambda i, toff, cnt: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, r, qc), lambda i, toff, cnt: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((2, codes_tiled.shape[1], LANE_TILE), jnp.uint8),
+            pltpu.VMEM((qc, W * LANE_TILE), jnp.int32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    vals, pos = pl.pallas_call(
+        partial(_scan_select_csr_kernel, r=r, W=W, B=B,
+                enc_bias=enc_bias, col_bits=col_bits),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((C, r, qc), jnp.float32),
+            jax.ShapeDtypeStruct((C, r, qc), jnp.int32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 2**20),
+        interpret=interpret,
+    )(tile_offsets.astype(jnp.int32), counts.astype(jnp.int32),
+      tables_sel, codes_tiled)
+    return vals, pos
+
+
+@jax.jit
+def pack_codes_tiled(codes_packed, flat_ids):
+    """Gather nibble-packed codes into the CSR tile layout.
+
+    codes_packed: uint8[n, Bs]; flat_ids: int32[T * 128] from
+    invert_assignments_csr_tiled (-1 padding reuses row 0, masked at
+    query time by counts). Returns uint8[T, Bs_pad, 128] with Bs padded
+    to a multiple of 8 (Mosaic requires HBM DMA slices sublane-aligned);
+    the phantom packed bytes are zero and their table rows are zeroed by
+    permute_tables_csr, so they never contribute to estimates.
+    """
+    rows = codes_packed[jnp.maximum(flat_ids, 0)]     # (T*128, Bs)
+    Bs = rows.shape[1]
+    rows = jnp.pad(rows, ((0, 0), (0, round_up(Bs, 8) - Bs)))
+    T = flat_ids.shape[0] // LANE_TILE
+    return rows.reshape(T, LANE_TILE, -1).transpose(0, 2, 1)
+
+
+def permute_tables_csr(tables_flat, B: int):
+    """(..., 16B) block-major tables -> the CSR kernel's tiled layout
+    (..., 16 * B_pad): storage (evens-then-odds) block order over the
+    8-sublane-padded packed width, zero rows for phantom pad blocks."""
+    import numpy as np
+    Bs_pad = round_up(B // 2, 8)
+    B_pad = 2 * Bs_pad
+    # storage col sb < Bs_pad holds logical blocks (2sb, 2sb+1); the
+    # unpack emits evens then odds
+    perm = np.concatenate([np.arange(0, B_pad, 2), np.arange(1, B_pad, 2)])
+    shape = tables_flat.shape[:-1]
+    t = tables_flat.reshape(shape + (B, 16))
+    if B_pad != B:
+        t = jnp.pad(t, [(0, 0)] * len(shape) + [(0, B_pad - B), (0, 0)])
+    t = t[..., perm, :]
+    return jnp.swapaxes(t, -1, -2).reshape(shape + (16 * B_pad,))
+
+
 def permute_tables_tiled(tables_flat, B: int, packed: bool = False):
     """(..., 16B) tables in block-major layout -> tiled kernel layout.
 

@@ -4,10 +4,12 @@ The reference is strictly single-process (SURVEY.md §2.13); scaling the
 corpus beyond one chip's HBM is the TPU build's analogue of model
 parallelism. Design (BASELINE config 5):
 
-  * the padded list grids — codes (C, cap, B), ids (C, cap) and raw
-    vectors (C, cap, d) for rescore — are sharded over the mesh on the
-    cluster axis; PQ codebooks, coarse centers and the query batch are
-    replicated (KB-scale);
+  * the CSR tile arrays — codes (T, B/2, 128), flat ids (T * 128,) and
+    flat raw vectors (T * 128, d) for rescore — are split into
+    contiguous per-shard cluster ranges (each padded to the largest
+    shard's tile count) and sharded over the mesh on the cluster axis;
+    PQ codebooks, coarse centers and the query batch are replicated
+    (KB-scale);
   * each device runs the same bucketed scan as the single-chip path,
     but only over the probed clusters it owns; probe selection is
     computed redundantly on every device (tiny) so no communication is
@@ -64,29 +66,66 @@ class ShardedIVF(IVF):
 
     def build(self, X, n_probes=2, verbose=False):
         super().build(X, n_probes, verbose)
-        self._place(self.list_codes, self.list_ids, self.list_counts,
-                    self.active_centers)
+        self._place()
         return self
 
-    def _place(self, codes, ids, counts, centers):
-        """Pad the grids to a mesh-size multiple, derive the raw-vector
-        grid, and shard everything over the cluster axis — all on
-        device (no host readback)."""
+    def _place(self):
+        """Split the CSR tile arrays into contiguous per-shard cluster
+        ranges (each padded to the largest shard's tile count), derive
+        the per-shard flat raw-vector array for local rescore, and shard
+        everything over the cluster axis — slicing happens on device (no
+        host readback of codes/vectors; only the small offset/count
+        vectors are host-side, and they were built on host anyway)."""
         n_dev = self.mesh.shape[self.axis]
-        C = codes.shape[0]
+        toff = np.asarray(self.tile_offsets)
+        counts = np.asarray(self.list_counts)
+        C = toff.shape[0]
         C_pad = C + (-C) % n_dev
-        codes = jnp.pad(codes, ((0, C_pad - C), (0, 0), (0, 0)))
-        ids = jnp.pad(ids, ((0, C_pad - C), (0, 0)), constant_values=-1)
-        counts = jnp.pad(counts, (0, C_pad - C))
-        vecs = jax.jit(lambda d, i: d[jnp.maximum(i, 0)])(self.data, ids)
-        centers = jnp.pad(centers, ((0, C_pad - C), (0, 0)),
+        Cl = C_pad // n_dev
+        ntiles = -(-counts.astype(np.int64) // 128)
+        ends = toff.astype(np.int64) + ntiles          # end tile per list
+        toff_p = np.concatenate(
+            [toff, np.zeros(C_pad - C, np.int32)])
+        counts_p = np.concatenate(
+            [counts, np.zeros(C_pad - C, np.int32)])
+        # shard s owns clusters [s*Cl, (s+1)*Cl): tiles [start_s, end_s)
+        starts = np.array([toff_p[s * Cl] if s * Cl < C else 0
+                           for s in range(n_dev)], np.int64)
+        stops = np.array(
+            [ends[min((s + 1) * Cl, C) - 1] if s * Cl < C else 0
+             for s in range(n_dev)], np.int64)
+        T_l = int(max(1, (stops - starts).max())) + 1  # +1 guard tile
+        guard = self.csr_codes.shape[0] - 1            # global guard tile
+
+        codes_parts, ids_parts, toffs, cnts = [], [], [], []
+        for s in range(n_dev):
+            n_t = int(stops[s] - starts[s])
+            idx = np.concatenate([
+                np.arange(starts[s], stops[s]),
+                np.full(T_l - n_t, guard, np.int64)]).astype(np.int32)
+            codes_parts.append(self.csr_codes[jnp.asarray(idx)])
+            ids_parts.append(jnp.asarray(self.csr_ids).reshape(-1, 128)[
+                jnp.asarray(idx)].reshape(-1))
+            toffs.append(toff_p[s * Cl:(s + 1) * Cl]
+                         - (starts[s] if s * Cl < C else 0))
+            cnts.append(counts_p[s * Cl:(s + 1) * Cl])
+        codes_st = jnp.concatenate(codes_parts)        # (n_dev*T_l,Bs,128)
+        ids_st = jnp.concatenate(ids_parts)            # (n_dev*T_l*128,)
+        vecs_st = jax.jit(lambda d, i: d[jnp.maximum(i, 0)])(
+            self.data, ids_st)                         # flat local rescore
+        toff_st = jnp.asarray(np.concatenate(toffs).astype(np.int32))
+        cnts_st = jnp.asarray(np.concatenate(cnts).astype(np.int32))
+        centers = jnp.pad(self.active_centers, ((0, C_pad - C), (0, 0)),
                           # padding centers sit far away: never probed
                           constant_values=1e9)
-        (self.list_codes, self.list_ids, self.list_counts,
-         self.list_vecs) = shard_on_axis0(
-            self.mesh, codes, ids, counts, vecs, axis=self.axis)
+        (self.csr_codes, self.csr_ids, self.tile_offsets,
+         self.list_counts, self.list_vecs) = shard_on_axis0(
+            self.mesh, codes_st, ids_st, toff_st, cnts_st, vecs_st,
+            axis=self.axis)
         self.active_centers = replicate(self.mesh, centers)
         self._n_active_real = C
+        self._shard_tiles = T_l
+        self._shard_meta = (starts, stops, Cl, C)  # for save_ivf
 
     def query(self, q, k, n_probes=1, pass_1=None, with_stats=False):
         q = np.asarray(q, dtype=np.float32)
@@ -95,7 +134,7 @@ class ShardedIVF(IVF):
             q = q[None]
         n_probes = min(n_probes, self._n_active_real)
         k = min(k, int(self.data.shape[0]))
-        cap = self.list_codes.shape[1]
+        cap = self.max_tiles * 128
         if pass_1 is None:
             pass_1 = (n_probes + 1) * k + 1
         # same deep/shallow budgets as the single-chip path
@@ -105,7 +144,7 @@ class ShardedIVF(IVF):
         from ..utils.padding import round_up
         c_dev = self.mesh.shape[self.axis]
         q_dev = self.mesh.shape[self.query_axis] if self.query_axis else 1
-        C_pad = self.list_codes.shape[0]
+        C_pad = self.tile_offsets.shape[0]
         true_q = q.shape[0]
         if true_q % q_dev:  # query-axis sharding needs equal slices
             q = np.pad(q, ((0, q_dev - true_q % q_dev), (0, 0)))
@@ -120,10 +159,10 @@ class ShardedIVF(IVF):
         method = _resolve_method(self.pass1_method)
         scan_impl = self.scan_impl
         if scan_impl == "auto":
-            est_bytes = (max(qc, 8) * cap * 4
-                         + cap * 2 * self.list_codes.shape[2] * 17)
+            from ..models.ivf import _fused_ok
             scan_impl = ("fused" if jax.default_backend() == "tpu"
-                         and est_bytes < 40 * 2**20 else "xla")
+                         and _fused_ok(max(qc, qc0), self.pq, cap)
+                         else "xla")
 
         dtable = self.pq._table(q, signed=True)
         qspec = P(self.query_axis) if self.query_axis else P()
@@ -140,12 +179,13 @@ class ShardedIVF(IVF):
         qc0_full = round_up(q_local, 8)
         for _attempt in range(attempts):
             out, dropped = _sharded_query(
-                qj, tables, self.active_centers, self.list_codes,
-                self.list_ids, self.list_counts, self.list_vecs,
+                qj, tables, self.active_centers, self.csr_codes,
+                self.csr_ids, self.tile_offsets, self.list_counts,
+                self.list_vecs,
                 mesh=self.mesh, axis=self.axis, query_axis=self.query_axis,
                 metric=self.metric, k=k, n_probes=n_probes, pass_1=pass_1,
                 r=r, r_tail=r_tail, qc=qc, qc0=qc0, method=method,
-                scan_impl=scan_impl)
+                scan_impl=scan_impl, max_tiles=self.max_tiles)
             if _attempt + 1 == attempts or int(dropped) == 0:
                 break
             if _attempt + 2 == attempts:  # last try: can't-drop caps
@@ -170,10 +210,11 @@ class ShardedIVF(IVF):
 @partial(jax.jit,
          static_argnames=("mesh", "axis", "query_axis", "metric", "k",
                           "n_probes", "pass_1", "r", "r_tail", "qc", "qc0",
-                          "method", "scan_impl"))
-def _sharded_query(q, tables, centers, list_codes, list_ids, list_counts,
-                   list_vecs, *, mesh, axis, query_axis, metric, k,
-                   n_probes, pass_1, r, r_tail, qc, qc0, method, scan_impl):
+                          "method", "scan_impl", "max_tiles"))
+def _sharded_query(q, tables, centers, csr_codes, csr_ids, tile_offsets,
+                   list_counts, list_vecs, *, mesh, axis, query_axis,
+                   metric, k, n_probes, pass_1, r, r_tail, qc, qc0,
+                   method, scan_impl, max_tiles):
     spec_s = P(axis)
     spec_q = P(query_axis) if query_axis else P()
     spec_r = P()
@@ -182,26 +223,32 @@ def _sharded_query(q, tables, centers, list_codes, list_ids, list_counts,
     step = partial(_shard_local_query, axis=axis, psum_axes=psum_axes,
                    metric=metric, k=k,
                    n_probes=n_probes, pass_1=pass_1, r=r, r_tail=r_tail,
-                   qc=qc, qc0=qc0, method=method, scan_impl=scan_impl)
+                   qc=qc, qc0=qc0, method=method, scan_impl=scan_impl,
+                   max_tiles=max_tiles)
     # check_vma=False: outputs are replicated along the cluster axis by
     # construction (they come out of an all_gather/psum + identical
     # replicated math), which the varying-axes checker cannot infer
     # statically. Along a query axis each device owns its query slice.
     ids, d2, dropped = jax.shard_map(
         step, mesh=mesh,
-        in_specs=(spec_q, spec_q, spec_r, spec_s, spec_s, spec_s, spec_s),
+        in_specs=(spec_q, spec_q, spec_r, spec_s, spec_s, spec_s, spec_s,
+                  spec_s),
         out_specs=(spec_q, spec_q, spec_r), check_vma=False,
-    )(q, tables, centers, list_codes, list_ids, list_counts, list_vecs)
+    )(q, tables, centers, csr_codes, csr_ids, tile_offsets, list_counts,
+      list_vecs)
     return ids, dropped
 
 
-def _shard_local_query(q, tables, centers, codes_l, ids_l, counts_l,
-                       vecs_l, *, axis, psum_axes, metric, k, n_probes,
-                       pass_1, r, r_tail, qc, qc0, method, scan_impl):
+def _shard_local_query(q, tables, centers, codes_l, ids_l, toff_l,
+                       counts_l, vecs_l, *, axis, psum_axes, metric, k,
+                       n_probes, pass_1, r, r_tail, qc, qc0, method,
+                       scan_impl, max_tiles):
     """Per-shard body: local two-round bucketed scan (shared with the
-    single-chip path, models/ivf.py) + local rescore + gather-merge."""
+    single-chip path, models/ivf.py) + local rescore + gather-merge.
+    codes_l/ids_l/toff_l/counts_l are the shard's local CSR tile arrays;
+    vecs_l is the matching flat raw-vector array."""
     Q, d = q.shape
-    Cl, cap, _ = codes_l.shape                 # codes nibble-packed
+    Cl = toff_l.shape[0]
     B = tables.shape[1]
     P_ = n_probes
     me = jax.lax.axis_index(axis)
@@ -227,17 +274,19 @@ def _shard_local_query(q, tables, centers, codes_l, ids_l, counts_l,
     M = B * 16
     tables_flat = tables.reshape(Q, M)
     if scan_impl == "fused":
-        from ..ops.kernels import permute_tables_tiled
-        tables_flat = permute_tables_tiled(tables_flat, B, packed=True)
+        from ..ops.kernels import permute_tables_csr
+        tables_flat = permute_tables_csr(tables_flat, B)
 
     v0, i0, p0, drop0 = _bucket_scan_round(
-        probes_local[:, :1], tables_flat, codes_l, ids_l, counts_l,
-        qc=qc0, r=r, method=method, scan_impl=scan_impl)
+        probes_local[:, :1], tables_flat, codes_l, ids_l, toff_l,
+        counts_l, qc=qc0, r=r, method=method, scan_impl=scan_impl,
+        max_tiles=max_tiles)
     dropped = drop0
     if P_ > 1:
         v1, i1, p1, drop1 = _bucket_scan_round(
-            probes_local[:, 1:], tables_flat, codes_l, ids_l, counts_l,
-            qc=qc, r=r_tail, method=method, scan_impl=scan_impl)
+            probes_local[:, 1:], tables_flat, codes_l, ids_l, toff_l,
+            counts_l, qc=qc, r=r_tail, method=method, scan_impl=scan_impl,
+            max_tiles=max_tiles)
         dropped = dropped + drop1
         ok0 = is_local[:, :1, None]
         ok1 = is_local[:, 1:, None]
@@ -264,9 +313,8 @@ def _shard_local_query(q, tables, centers, codes_l, ids_l, counts_l,
     cand = jnp.take_along_axis(dd_ids, top_pos, axis=1)
     cand_p = jnp.take_along_axis(flat_pos, top_pos, axis=1)
 
-    # ---- local exact rescore from the sharded vector grid
-    vflat = vecs_l.reshape(Cl * cap, -1)
-    gathered = vflat[jnp.clip(cand_p, 0, Cl * cap - 1)]
+    # ---- local exact rescore from the shard's flat vector array
+    gathered = vecs_l[jnp.clip(cand_p, 0, vecs_l.shape[0] - 1)]
     diff = gathered - q[:, None, :]
     d2 = jnp.einsum("qrd,qrd->qr", diff, diff)
     d2 = jnp.where(cand >= 0, d2, jnp.inf)

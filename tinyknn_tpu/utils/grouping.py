@@ -62,6 +62,52 @@ def invert_assignments(assignments, n_lists: int, pad_to: int = 8,
     return ids, counts
 
 
+def invert_assignments_csr_tiled(assignments, n_lists: int,
+                                 tile: int = 128):
+    """Lane-tiled CSR inverted lists for the ragged Pallas scan.
+
+    Each list's member ids are laid out contiguously and padded with -1
+    to a multiple of ``tile`` (the TPU lane width), so a list is a whole
+    number of (tile,)-wide code tiles the kernel can DMA directly.
+
+    Returns ``(flat_ids, tile_offsets, counts)``:
+      flat_ids:     (N_pad,) int32, -1 padding; N_pad is a multiple of
+                    ``tile`` (one extra all-padding tile is appended so
+                    a trailing over-read by the kernel stays in bounds).
+      tile_offsets: (n_lists,) int32 — list i starts at flat index
+                    ``tile_offsets[i] * tile``.
+      counts:       (n_lists,) int32 true list lengths.
+
+    Replaces the dense grid's pad-to-max-length waste (the reference
+    sidesteps ragged lists with Python lists, tinyknn/ivf.py:100-102;
+    a TPU index needs static shapes — this is the static-shape ragged
+    encoding).
+    """
+    assignments = np.asarray(assignments)
+    if assignments.ndim == 1:
+        assignments = assignments[:, None]
+    n, p = assignments.shape
+    flat = assignments.reshape(-1).astype(np.int64)
+    assert n_lists > 0
+    assert flat.size == 0 or (flat.min() >= 0 and flat.max() < n_lists), \
+        "assignments out of range"
+    counts = np.bincount(flat, minlength=n_lists).astype(np.int32)
+    ntiles = -(-counts.astype(np.int64) // tile)
+    tile_offsets64 = np.zeros(n_lists, dtype=np.int64)
+    np.cumsum(ntiles[:-1], out=tile_offsets64[1:])
+    total = int(ntiles.sum()) + 1  # +1 guard tile for kernel over-read
+    flat_ids = np.full(total * tile, -1, dtype=np.int32)
+
+    order = np.argsort(flat, kind="stable")
+    sorted_lists = flat[order]
+    point_ids = (order // p).astype(np.int32)
+    starts = np.zeros(n_lists + 1, dtype=np.int64)
+    np.cumsum(counts, out=starts[1:])
+    pos = np.arange(flat.size, dtype=np.int64) - starts[sorted_lists]
+    flat_ids[tile_offsets64[sorted_lists] * tile + pos] = point_ids
+    return flat_ids, tile_offsets64.astype(np.int32), counts
+
+
 def invert_assignments_csr(assignments, n_lists: int):
     """CSR form: (flat_ids, offsets) with offsets shape (n_lists + 1,)."""
     assignments = np.asarray(assignments)
