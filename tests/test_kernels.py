@@ -80,7 +80,8 @@ def test_scan_select_csr_matches_oracle(W):
         pack_codes_tiled, permute_tables_csr, permute_tables_tiled,
         scan_select_csr)
     from tinyknn_tpu.ops.packing import pack_codes
-    from tinyknn_tpu.utils.grouping import invert_assignments_csr_tiled
+    from tinyknn_tpu.utils.grouping import (
+        csr_scan_map, invert_assignments_csr_tiled)
     rng = np.random.default_rng(3)
     n, B, C, qc, r = 500, 8, 4, 8, 6
     # skewed assignment incl. an empty list and a >128-long list
@@ -94,7 +95,8 @@ def test_scan_select_csr_matches_oracle(W):
     # B=8 -> Bs=4 pads to 8 in storage; tables get zero phantom rows
     t_k = np.asarray(permute_tables_csr(tables, B))
     max_tiles = max(1, int(-(-counts.max() // 128)))
-    v, p = scan_select_csr(t_k, codes_tiled, toff, counts, r,
+    smap = csr_scan_map(toff, counts, codes_tiled.shape[0])
+    v, p = scan_select_csr(t_k, codes_tiled, *smap, counts, r,
                            fold_tiles=W, max_tiles=max_tiles,
                            interpret=True)
     ev, ep = _csr_oracle(permute_tables_tiled(tables, B), codes,

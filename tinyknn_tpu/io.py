@@ -207,6 +207,9 @@ def load_ivf(path) -> IVF:
         ivf.list_counts = jnp.asarray(list_counts)
         ivf.max_tiles = max(
             1, int(-(-int(list_counts.max(initial=0)) // 128)))
+        from .utils.grouping import csr_scan_map
+        ivf.scan_map = tuple(jnp.asarray(a) for a in csr_scan_map(
+            tile_offsets, list_counts, csr_codes.shape[0]))
         ivf.data = jnp.asarray(data["data"])
         return ivf
 

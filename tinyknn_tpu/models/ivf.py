@@ -40,7 +40,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..utils.bruteforce import knn_brute
-from ..utils.grouping import invert_assignments_csr_tiled
+from ..utils.grouping import csr_scan_map, invert_assignments_csr_tiled
 from ..utils.padding import round_up
 from ..utils.timing import timer
 from ..ops.kernels import LANE_TILE, pack_codes_tiled
@@ -178,6 +178,8 @@ class IVF:
             self.list_counts = jnp.asarray(counts.astype(np.int32))
             self.max_tiles = max(
                 1, int(-(-int(counts.max(initial=0)) // LANE_TILE)))
+            self.scan_map = tuple(jnp.asarray(a) for a in csr_scan_map(
+                toff, counts, self.csr_codes.shape[0]))
         return self
 
     # ------------------------------------------------------------- query
@@ -262,7 +264,8 @@ class IVF:
                 out, dropped = _ivf_query(
                     jnp.asarray(q), self.pq.center_blocks, self.pq.R,
                     self.active_centers, self.csr_codes, self.csr_ids,
-                    self.tile_offsets, self.list_counts, self.data,
+                    self.tile_offsets, self.list_counts, self.scan_map,
+                    self.data,
                     dpb=self.pq.dims_per_block, metric=self.metric,
                     k=k, n_probes=n_probes, pass_1=pass_1, r=r,
                     r_tail=r_tail, qc=qc, qc0=qc0, method=method,
@@ -310,8 +313,9 @@ def _fused_ok(qc: int, pq, cap: int) -> bool:
 
 
 def _bucket_scan_round(probe_sub, tables_flat, csr_codes, csr_ids,
-                       tile_offsets, list_counts, qc: int, r: int,
-                       method: str, scan_impl: str, max_tiles: int):
+                       tile_offsets, list_counts, scan_map, qc: int,
+                       r: int, method: str, scan_impl: str,
+                       max_tiles: int):
     """One bucketed scan round over a probe subset.
 
     probe_sub: (Q, Ps) cluster ids. Buckets the (query, probe) pairs by
@@ -357,7 +361,7 @@ def _bucket_scan_round(probe_sub, tables_flat, csr_codes, csr_ids,
         # tables already in the kernel's tiled layout (see _ivf_query)
         t_sel = tables_flat[jnp.maximum(qgrid, 0)]    # (C, qc, M) int8
         vals, lpos = scan_select_csr(
-            t_sel, csr_codes, tile_offsets, list_counts, r,
+            t_sel, csr_codes, *scan_map, list_counts, r,
             fold_tiles=_fold_tiles(r, max_tiles), max_tiles=max_tiles,
             interpret=jax.default_backend() != "tpu")
         cand_vals = jnp.swapaxes(vals, 1, 2)          # (C, qc, r)
@@ -444,7 +448,8 @@ def default_qc0(Q: int, C: int) -> int:
                                    "pass_1", "r", "r_tail", "qc", "qc0",
                                    "method", "scan_impl", "max_tiles"))
 def _ivf_query(q, center_blocks, R, active_centers, csr_codes, csr_ids,
-               tile_offsets, list_counts, data, *, dpb: int, metric: str,
+               tile_offsets, list_counts, scan_map, data, *, dpb: int,
+               metric: str,
                k: int, n_probes: int, pass_1: int, r: int, r_tail: int,
                qc: int, qc0: int, method: str = "exact",
                scan_impl: str = "xla", max_tiles: int = 1):
@@ -491,13 +496,13 @@ def _ivf_query(q, center_blocks, R, active_centers, csr_codes, csr_ids,
     # escalation, and queries_per_cluster overrides the capacity.
     v0, i0, _, drop0 = _bucket_scan_round(
         probe_sel[:, :1], tables_flat, csr_codes, csr_ids, tile_offsets,
-        list_counts, qc=qc0, r=r, method=method, scan_impl=scan_impl,
-        max_tiles=max_tiles)
+        list_counts, scan_map, qc=qc0, r=r, method=method,
+        scan_impl=scan_impl, max_tiles=max_tiles)
     if P > 1:
         v1, i1, _, drop1 = _bucket_scan_round(
             probe_sel[:, 1:], tables_flat, csr_codes, csr_ids,
-            tile_offsets, list_counts, qc=qc, r=r_tail, method=method,
-            scan_impl=scan_impl, max_tiles=max_tiles)
+            tile_offsets, list_counts, scan_map, qc=qc, r=r_tail,
+            method=method, scan_impl=scan_impl, max_tiles=max_tiles)
         flat_vals = jnp.concatenate(
             [v0.reshape(Q, -1), v1.reshape(Q, -1)], axis=1)
         flat_ids = jnp.concatenate(

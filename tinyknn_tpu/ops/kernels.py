@@ -357,89 +357,83 @@ def _unpack_evens_odds_T(codes_i32):
     return jnp.concatenate([lo, hi], axis=0)
 
 
-def _scan_select_csr_kernel(toff_ref, counts_ref, tsel_ref, codes_hbm,
-                            vals_ref, idx_ref, buf, folded_scr, sem,
-                            *, r: int, W: int, B: int, enc_bias: int,
+def _scan_select_csr_kernel(cl_ref, tile_ref, tpos_ref, last_ref,
+                            counts_ref, tsel_ref, codes_ref,
+                            vals_ref, idx_ref, folded,
+                            *, r: int, W: int, enc_bias: int,
                             col_bits: int):
-    c = pl.program_id(0)
-    off = toff_ref[c]
-    count = counts_ref[c]
-    n_t = jax.lax.div(count + LANE_TILE - 1, LANE_TILE)
-    tsel = tsel_ref[0]                            # (qc, M) int8
-    qc = tsel.shape[0]
+    t = pl.program_id(0)
+    tp = tpos_ref[t]
+    count = counts_ref[cl_ref[t]]
     S = W * LANE_TILE
-    folded_scr[...] = jnp.full((qc, S), _ENC_BIG, jnp.int32)
+    qc = folded.shape[1]
 
-    def tile_dma(slot, t):
-        return pltpu.make_async_copy(
-            codes_hbm.at[off + t], buf.at[slot], sem.at[slot])
-
-    @pl.when(n_t > 0)
+    @pl.when(tp == 0)
     def _():
-        tile_dma(0, 0).start()
+        folded[...] = jnp.full((S, qc), _ENC_BIG, jnp.int32)
 
-    lane = jax.lax.broadcasted_iota(jnp.int32, (qc, LANE_TILE), 1)
+    codes = codes_ref[0].astype(jnp.int32)        # (Bs, 128)
+    codes = _unpack_evens_odds_T(codes)           # (B, 128)
+    onehot = _onehot_tiled_T(codes)               # (16B, 128) int8
+    # est transposed to (128, qc): candidates on sublanes, query slots
+    # on lanes — the fold/extraction reductions then run down sublanes
+    # (cheap) and every emit is one lane-contiguous row write.
+    est = jax.lax.dot_general(
+        onehot, tsel_ref[0], (((0,), (1,)), ((), ())),
+        preferred_element_type=jnp.int32)         # (128, qc)
+    subl = jax.lax.broadcasted_iota(jnp.int32, est.shape, 0)
+    pos = tp * LANE_TILE + subl                   # position within list
+    enc = jax.lax.shift_left(est + jnp.int32(enc_bias),
+                             jnp.int32(col_bits)) | pos
+    enc = jnp.where(pos < count, enc, _ENC_BIG)
+    seg = pl.multiple_of(jax.lax.rem(tp, W) * LANE_TILE, LANE_TILE)
+    folded[pl.ds(seg, LANE_TILE), :] = jnp.minimum(
+        folded[pl.ds(seg, LANE_TILE), :], enc)
 
-    def body(t, _):
-        slot = jax.lax.rem(t, 2)
+    @pl.when(last_ref[t] == 1)
+    def _():
+        mask = jnp.int32((1 << col_bits) - 1)
 
-        @pl.when(t + 1 < n_t)
-        def _():
-            tile_dma(1 - slot, t + 1).start()
+        def extract(j, f):
+            m = jnp.min(f, axis=0)                # (qc,)
+            valid = m < _ENC_BIG
+            v = (jax.lax.shift_right_logical(m, jnp.int32(col_bits))
+                 - jnp.int32(enc_bias)).astype(jnp.float32)
+            vals_ref[0, j, :] = jnp.where(valid, v, jnp.float32(3.4e38))
+            idx_ref[0, j, :] = jnp.where(valid, m & mask, -1)
+            return jnp.where(f == m[None, :], _ENC_BIG, f)
 
-        tile_dma(slot, t).wait()
-        codes = buf[slot].astype(jnp.int32)       # (Bs, 128)
-        codes = _unpack_evens_odds_T(codes)       # (B, 128)
-        onehot = _onehot_tiled_T(codes)           # (16B, 128) int8
-        est = jax.lax.dot_general(
-            tsel, onehot, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.int32)     # (qc, 128)
-        pos = t * LANE_TILE + lane                # position within list
-        enc = jax.lax.shift_left(est + jnp.int32(enc_bias),
-                                 jnp.int32(col_bits)) | pos
-        enc = jnp.where(pos < count, enc, _ENC_BIG)
-        seg = pl.multiple_of(jax.lax.rem(t, W) * LANE_TILE, LANE_TILE)
-        folded_scr[:, pl.ds(seg, LANE_TILE)] = jnp.minimum(
-            folded_scr[:, pl.ds(seg, LANE_TILE)], enc)
-        return 0
-
-    jax.lax.fori_loop(0, n_t, body, 0)
-
-    mask = jnp.int32((1 << col_bits) - 1)
-
-    def extract(j, folded):
-        m = jnp.min(folded, axis=1)               # (qc,)
-        valid = m < _ENC_BIG
-        v = (jax.lax.shift_right_logical(m, jnp.int32(col_bits))
-             - jnp.int32(enc_bias)).astype(jnp.float32)
-        vals_ref[0, j, :] = jnp.where(valid, v, jnp.float32(3.4e38))
-        idx_ref[0, j, :] = jnp.where(valid, m & mask, -1)
-        return jnp.where(folded == m[:, None], _ENC_BIG, folded)
-
-    jax.lax.fori_loop(0, r, extract, folded_scr[...])
+        jax.lax.fori_loop(0, r, extract, folded[...])
 
 
 @partial(jax.jit, static_argnames=("r", "fold_tiles", "max_tiles",
                                    "interpret"))
-def scan_select_csr(tables_sel, codes_tiled, tile_offsets, counts, r: int,
+def scan_select_csr(tables_sel, codes_tiled, scan_cl, scan_tile,
+                    scan_tpos, scan_last, counts, r: int,
                     fold_tiles: int = 4, max_tiles: int = 1,
                     interpret: bool = False):
     """Ragged fused scan + top-r over CSR-tiled inverted lists.
 
-    tables_sel: int8[C, qc, M] bucketed query tables, rows in the tiled
-        one-hot layout with *storage* (evens-then-odds) block order —
-        permute_tables_tiled(packed=True), same as the dense kernel.
-    codes_tiled: uint8[T, Bs, 128] — nibble-packed code tiles; list i
-        owns tiles [tile_offsets[i], tile_offsets[i] + ceil(counts[i] /
-        128)) (invert_assignments_csr_tiled layout, including its guard
-        tile so the double-buffer look-ahead can't read out of bounds).
-    tile_offsets, counts: int32[C] (scalar-prefetched).
+    Flat grid: ONE step per 128-point list tile (scan maps from
+    utils.grouping.csr_scan_map), so only actual list tiles are ever
+    read or scanned and Mosaic's grid pipeline overlaps each tile's DMA
+    with the previous tile's compute. Consecutive steps of one list
+    revisit the same table/output blocks (no re-fetch) and accumulate
+    an encoded min-fold in persistent scratch; the list's last step
+    extracts the top-r candidates.
+
+    tables_sel: int8[C, qc, M] bucketed query tables, rows in the
+        transposed-tiled one-hot layout with *storage* (evens-then-odds)
+        block order over the 8-padded packed width — permute_tables_csr.
+    codes_tiled: uint8[T, Bs_pad, 128] — nibble-packed code tiles
+        (invert_assignments_csr_tiled + pack_codes_tiled layout).
+    scan_cl, scan_tile, scan_tpos, scan_last: int32[G] flat-grid maps.
+    counts: int32[C] true list lengths.
     r: candidates per (cluster, query slot).
-    fold_tiles: W — fold width in tiles. The running min-fold keeps, per
-        query, the best candidate of each of the W*128 position classes
-        (position mod W*128); at most one survivor per class, the same
-        relaxation as approx_max_k / the dense kernel's ``segments``.
-    max_tiles: max list length in tiles (static; sizes the position
+    fold_tiles: W — fold width in tiles; per query the fold keeps the
+        best candidate of each of the W*128 position classes (position
+        mod W*128), the same relaxation as approx_max_k.
+    max_tiles: longest list in tiles (static; sizes the position
         bit-field of the encoded int32 domain).
 
     Returns (vals f32[C, r, qc], pos int32[C, r, qc]) — estimate values
@@ -455,28 +449,32 @@ def scan_select_csr(tables_sel, codes_tiled, tile_offsets, counts, r: int,
         f"list too long for int32 encoding: max_tiles={max_tiles}, B={B};"
         " use scan_impl='xla'")
     W = fold_tiles
+    G = scan_cl.shape[0]
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
-        grid=(C,),
+        num_scalar_prefetch=5,
+        grid=(G,),
         in_specs=[
-            pl.BlockSpec((1, qc, M), lambda i, toff, cnt: (i, 0, 0),
+            pl.BlockSpec((1, qc, M),
+                         lambda t, cl, ti, tp, lst, cnt: (cl[t], 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((1, codes_tiled.shape[1], LANE_TILE),
+                         lambda t, cl, ti, tp, lst, cnt: (ti[t], 0, 0),
+                         memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, r, qc), lambda i, toff, cnt: (i, 0, 0),
+            pl.BlockSpec((1, r, qc),
+                         lambda t, cl, ti, tp, lst, cnt: (cl[t], 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, r, qc), lambda i, toff, cnt: (i, 0, 0),
+            pl.BlockSpec((1, r, qc),
+                         lambda t, cl, ti, tp, lst, cnt: (cl[t], 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
-            pltpu.VMEM((2, codes_tiled.shape[1], LANE_TILE), jnp.uint8),
-            pltpu.VMEM((qc, W * LANE_TILE), jnp.int32),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((W * LANE_TILE, qc), jnp.int32),
         ],
     )
     vals, pos = pl.pallas_call(
-        partial(_scan_select_csr_kernel, r=r, W=W, B=B,
+        partial(_scan_select_csr_kernel, r=r, W=W,
                 enc_bias=enc_bias, col_bits=col_bits),
         grid_spec=grid_spec,
         out_shape=[
@@ -486,8 +484,9 @@ def scan_select_csr(tables_sel, codes_tiled, tile_offsets, counts, r: int,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 2**20),
         interpret=interpret,
-    )(tile_offsets.astype(jnp.int32), counts.astype(jnp.int32),
-      tables_sel, codes_tiled)
+    )(scan_cl.astype(jnp.int32), scan_tile.astype(jnp.int32),
+      scan_tpos.astype(jnp.int32), scan_last.astype(jnp.int32),
+      counts.astype(jnp.int32), tables_sel, codes_tiled)
     return vals, pos
 
 

@@ -97,7 +97,8 @@ class ShardedIVF(IVF):
         T_l = int(max(1, (stops - starts).max())) + 1  # +1 guard tile
         guard = self.csr_codes.shape[0] - 1            # global guard tile
 
-        codes_parts, ids_parts, toffs, cnts = [], [], [], []
+        from ..utils.grouping import csr_scan_map
+        codes_parts, ids_parts, toffs, cnts, maps = [], [], [], [], []
         for s in range(n_dev):
             n_t = int(stops[s] - starts[s])
             idx = np.concatenate([
@@ -109,8 +110,20 @@ class ShardedIVF(IVF):
             toffs.append(toff_p[s * Cl:(s + 1) * Cl]
                          - (starts[s] if s * Cl < C else 0))
             cnts.append(counts_p[s * Cl:(s + 1) * Cl])
+            maps.append(np.stack(csr_scan_map(toffs[-1], cnts[-1], T_l)))
+        # pad every shard's flat-grid map to the longest (inert steps:
+        # revisit the last cluster's blocks, positioned past any count)
+        G_l = max(m.shape[1] for m in maps)
+        for i, m in enumerate(maps):
+            pad = np.zeros((4, G_l - m.shape[1]), np.int32)
+            pad[0, :] = Cl - 1          # cl
+            pad[1, :] = T_l - 1         # guard tile
+            pad[2, :] = 1 << 20         # tpos: beyond any list
+            maps[i] = np.concatenate([m, pad], axis=1)
         codes_st = jnp.concatenate(codes_parts)        # (n_dev*T_l,Bs,128)
         ids_st = jnp.concatenate(ids_parts)            # (n_dev*T_l*128,)
+        map_st = [jnp.asarray(np.concatenate([m[i] for m in maps]))
+                  for i in range(4)]                   # each (n_dev*G_l,)
         vecs_st = jax.jit(lambda d, i: d[jnp.maximum(i, 0)])(
             self.data, ids_st)                         # flat local rescore
         toff_st = jnp.asarray(np.concatenate(toffs).astype(np.int32))
@@ -119,9 +132,10 @@ class ShardedIVF(IVF):
                           # padding centers sit far away: never probed
                           constant_values=1e9)
         (self.csr_codes, self.csr_ids, self.tile_offsets,
-         self.list_counts, self.list_vecs) = shard_on_axis0(
+         self.list_counts, self.list_vecs, *scan_map) = shard_on_axis0(
             self.mesh, codes_st, ids_st, toff_st, cnts_st, vecs_st,
-            axis=self.axis)
+            *map_st, axis=self.axis)
+        self.scan_map = tuple(scan_map)
         self.active_centers = replicate(self.mesh, centers)
         self._n_active_real = C
         self._shard_tiles = T_l
@@ -181,7 +195,7 @@ class ShardedIVF(IVF):
             out, dropped = _sharded_query(
                 qj, tables, self.active_centers, self.csr_codes,
                 self.csr_ids, self.tile_offsets, self.list_counts,
-                self.list_vecs,
+                self.scan_map, self.list_vecs,
                 mesh=self.mesh, axis=self.axis, query_axis=self.query_axis,
                 metric=self.metric, k=k, n_probes=n_probes, pass_1=pass_1,
                 r=r, r_tail=r_tail, qc=qc, qc0=qc0, method=method,
@@ -212,9 +226,9 @@ class ShardedIVF(IVF):
                           "n_probes", "pass_1", "r", "r_tail", "qc", "qc0",
                           "method", "scan_impl", "max_tiles"))
 def _sharded_query(q, tables, centers, csr_codes, csr_ids, tile_offsets,
-                   list_counts, list_vecs, *, mesh, axis, query_axis,
-                   metric, k, n_probes, pass_1, r, r_tail, qc, qc0,
-                   method, scan_impl, max_tiles):
+                   list_counts, scan_map, list_vecs, *, mesh, axis,
+                   query_axis, metric, k, n_probes, pass_1, r, r_tail,
+                   qc, qc0, method, scan_impl, max_tiles):
     spec_s = P(axis)
     spec_q = P(query_axis) if query_axis else P()
     spec_r = P()
@@ -232,17 +246,17 @@ def _sharded_query(q, tables, centers, csr_codes, csr_ids, tile_offsets,
     ids, d2, dropped = jax.shard_map(
         step, mesh=mesh,
         in_specs=(spec_q, spec_q, spec_r, spec_s, spec_s, spec_s, spec_s,
-                  spec_s),
+                  (spec_s,) * 4, spec_s),
         out_specs=(spec_q, spec_q, spec_r), check_vma=False,
     )(q, tables, centers, csr_codes, csr_ids, tile_offsets, list_counts,
-      list_vecs)
+      scan_map, list_vecs)
     return ids, dropped
 
 
 def _shard_local_query(q, tables, centers, codes_l, ids_l, toff_l,
-                       counts_l, vecs_l, *, axis, psum_axes, metric, k,
-                       n_probes, pass_1, r, r_tail, qc, qc0, method,
-                       scan_impl, max_tiles):
+                       counts_l, scan_map_l, vecs_l, *, axis, psum_axes,
+                       metric, k, n_probes, pass_1, r, r_tail, qc, qc0,
+                       method, scan_impl, max_tiles):
     """Per-shard body: local two-round bucketed scan (shared with the
     single-chip path, models/ivf.py) + local rescore + gather-merge.
     codes_l/ids_l/toff_l/counts_l are the shard's local CSR tile arrays;
@@ -279,14 +293,14 @@ def _shard_local_query(q, tables, centers, codes_l, ids_l, toff_l,
 
     v0, i0, p0, drop0 = _bucket_scan_round(
         probes_local[:, :1], tables_flat, codes_l, ids_l, toff_l,
-        counts_l, qc=qc0, r=r, method=method, scan_impl=scan_impl,
-        max_tiles=max_tiles)
+        counts_l, scan_map_l, qc=qc0, r=r, method=method,
+        scan_impl=scan_impl, max_tiles=max_tiles)
     dropped = drop0
     if P_ > 1:
         v1, i1, p1, drop1 = _bucket_scan_round(
             probes_local[:, 1:], tables_flat, codes_l, ids_l, toff_l,
-            counts_l, qc=qc, r=r_tail, method=method, scan_impl=scan_impl,
-            max_tiles=max_tiles)
+            counts_l, scan_map_l, qc=qc, r=r_tail, method=method,
+            scan_impl=scan_impl, max_tiles=max_tiles)
         dropped = dropped + drop1
         ok0 = is_local[:, :1, None]
         ok1 = is_local[:, 1:, None]

@@ -108,6 +108,34 @@ def invert_assignments_csr_tiled(assignments, n_lists: int,
     return flat_ids, tile_offsets64.astype(np.int32), counts
 
 
+def csr_scan_map(tile_offsets, counts, n_tiles_total: int,
+                 tile: int = 128):
+    """Flat-grid step maps for the CSR scan kernel.
+
+    The kernel runs one grid step per 128-point list tile (plus one
+    dummy step per *empty* list, pointing at the guard tile, so every
+    list's output block gets written). Returns int32 arrays
+    ``(cl, tile_idx, tpos, last)`` of length G = sum(max(1, ntiles_i)):
+    owning list, storage tile index, position within the list's tile
+    walk, and a last-tile flag that triggers candidate extraction.
+    """
+    toff = np.asarray(tile_offsets, dtype=np.int64)
+    counts = np.asarray(counts, dtype=np.int64)
+    C = counts.shape[0]
+    ntiles = -(-counts // tile)
+    n_eff = np.maximum(ntiles, 1)
+    G = int(n_eff.sum())
+    cl = np.repeat(np.arange(C, dtype=np.int32), n_eff)
+    starts = np.zeros(C + 1, np.int64)
+    np.cumsum(n_eff, out=starts[1:])
+    tpos = (np.arange(G, dtype=np.int64) - starts[cl]).astype(np.int32)
+    tile_idx = (toff[cl] + tpos).astype(np.int32)
+    tile_idx = np.where(ntiles[cl] == 0,
+                        np.int32(n_tiles_total - 1), tile_idx)
+    last = (tpos == (n_eff[cl] - 1)).astype(np.int32)
+    return cl, tile_idx, tpos, last
+
+
 def invert_assignments_csr(assignments, n_lists: int):
     """CSR form: (flat_ids, offsets) with offsets shape (n_lists + 1,)."""
     assignments = np.asarray(assignments)
