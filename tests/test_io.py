@@ -37,6 +37,51 @@ def test_ivf_roundtrip(tmp_path):
     np.testing.assert_array_equal(a, b)
 
 
+def test_ivf_v2_archive_converts_to_csr(tmp_path):
+    """v2 archives stored a dense (C, cap) grid; loading one must
+    rebuild the CSR tile layout and query identically."""
+    import json
+    from tinyknn_tpu.io import _pq_state
+
+    X = np.random.randn(300, 12).astype(np.float32)
+    qs = np.random.randn(7, 12).astype(np.float32)
+    ivf = IVF("euclidean", 10, FastPQ(2))
+    ivf.fit(X).build(X, n_probes=2)
+    want = np.asarray(ivf.query(qs, k=5, n_probes=3))
+
+    # synthesize the v2 dense grid from the CSR index
+    C = ivf.tile_offsets.shape[0]
+    counts = np.asarray(ivf.list_counts)
+    toff = np.asarray(ivf.tile_offsets)
+    flat_ids = np.asarray(ivf.csr_ids)
+    codes_rows = np.asarray(ivf.csr_codes).transpose(0, 2, 1).reshape(
+        -1, np.asarray(ivf.csr_codes).shape[1])
+    Bs = np.asarray(ivf.pq.center_blocks).shape[0] // 2
+    cap = max(8, int(-(-counts.max() // 8) * 8))
+    list_codes = np.zeros((C, cap, Bs), np.uint8)
+    list_ids = np.full((C, cap), -1, np.int32)
+    for c in range(C):
+        L, s = int(counts[c]), int(toff[c]) * 128
+        list_codes[c, :L] = codes_rows[s:s + L, :Bs]
+        list_ids[c, :L] = flat_ids[s:s + L]
+    path = tmp_path / "ivf_v2.npz"
+    np.savez_compressed(
+        path, format=np.int32(2),
+        kind=np.frombuffer(b"ivf", np.uint8),
+        ivf_meta=np.frombuffer(json.dumps({
+            "metric": ivf.metric, "n_clusters": ivf.n_clusters,
+            "seed": ivf.seed}).encode(), dtype=np.uint8),
+        all_centers=np.asarray(ivf.all_centers),
+        active_centers=np.asarray(ivf.active_centers),
+        list_codes=list_codes, list_ids=list_ids,
+        list_counts=counts.astype(np.int32),
+        data=np.asarray(ivf.data), **_pq_state(ivf.pq))
+
+    ivf2 = load_ivf(path)
+    got = np.asarray(ivf2.query(qs, k=5, n_probes=3))
+    np.testing.assert_array_equal(want, got)
+
+
 def test_ivf_roundtrip_preserves_tuning(tmp_path):
     """Constructor knobs must survive save/load (a tuned index used to
     reload with hardcoded defaults)."""

@@ -74,8 +74,8 @@ def _csr_oracle(tables, codes, flat_ids, tile_offsets, counts, r, W):
     return vals, pos_out
 
 
-@pytest.mark.parametrize("W", [1, 2])
-def test_scan_select_csr_matches_oracle(W):
+@pytest.mark.parametrize("W, tps", [(1, 1), (2, 1), (2, 2)])
+def test_scan_select_csr_matches_oracle(W, tps):
     from tinyknn_tpu.ops.kernels import (
         pack_codes_tiled, permute_tables_csr, permute_tables_tiled,
         scan_select_csr)
@@ -89,16 +89,18 @@ def test_scan_select_csr_matches_oracle(W):
     codes = rng.integers(0, 16, size=(n, B), dtype=np.uint8)
     tables = rng.integers(-128, 128, size=(C, qc, B * 16)).astype(np.int8)
 
-    flat_ids, toff, counts = invert_assignments_csr_tiled(assign, C)
+    flat_ids, toff, counts = invert_assignments_csr_tiled(
+        assign, C, align_tiles=tps)
     codes_tiled = np.asarray(
         pack_codes_tiled(np.asarray(pack_codes(codes)), flat_ids))
     # B=8 -> Bs=4 pads to 8 in storage; tables get zero phantom rows
     t_k = np.asarray(permute_tables_csr(tables, B))
     max_tiles = max(1, int(-(-counts.max() // 128)))
-    smap = csr_scan_map(toff, counts, codes_tiled.shape[0])
+    smap = csr_scan_map(toff, counts, codes_tiled.shape[0],
+                        tiles_per_step=tps)
     v, p = scan_select_csr(t_k, codes_tiled, *smap, counts, r,
                            fold_tiles=W, max_tiles=max_tiles,
-                           interpret=True)
+                           tiles_per_step=tps, interpret=True)
     ev, ep = _csr_oracle(permute_tables_tiled(tables, B), codes,
                          flat_ids, toff, counts, r, W)
     np.testing.assert_array_equal(np.asarray(p), ep)

@@ -65,11 +65,12 @@ def _pq_restore(data) -> FastPQ:
     return pq
 
 
-def save_pq(path, pq: FastPQ):
+def save_pq(path, pq: FastPQ, compress: bool = False):
     assert pq.centers is not None, "save_pq: PQ not fitted"
-    np.savez_compressed(path, format=np.int32(_FORMAT_VERSION),
-                        kind=np.frombuffer(b"fastpq", np.uint8),
-                        **_pq_state(pq))
+    saver = np.savez_compressed if compress else np.savez
+    saver(path, format=np.int32(_FORMAT_VERSION),
+          kind=np.frombuffer(b"fastpq", np.uint8),
+          **_pq_state(pq))
 
 
 def load_pq(path) -> FastPQ:
@@ -107,10 +108,14 @@ def _unshard_csr(ivf):
     return csr_codes, csr_ids, tile_offsets, list_counts
 
 
-def save_ivf(path, ivf: IVF):
+def save_ivf(path, ivf: IVF, compress: bool = False):
     """Persist a built IVF (or ShardedIVF: per-shard padding is
     stripped and offsets re-based, so the archive is
-    mesh-shape-independent and can be re-sharded on load)."""
+    mesh-shape-independent and can be re-sharded on load).
+
+    ``compress`` is off by default: the bulk is quantized codes and
+    float vectors that barely compress, and zip-deflate costs minutes
+    at GloVe scale (~3.5 min vs ~5 s for a 1.2M-point index)."""
     assert ivf.csr_codes is not None, "save_ivf: index not built"
     if getattr(ivf, "_n_active_real", None) is not None:  # sharded
         csr_codes, csr_ids, tile_offsets, list_counts = _unshard_csr(ivf)
@@ -123,7 +128,8 @@ def save_ivf(path, ivf: IVF):
         list_counts = np.asarray(ivf.list_counts)
         active_centers = np.asarray(ivf.active_centers)
     state = _pq_state(ivf.pq)
-    np.savez_compressed(
+    saver = np.savez_compressed if compress else np.savez
+    saver(
         path, format=np.int32(_FORMAT_VERSION),
         kind=np.frombuffer(b"ivf", np.uint8),
         ivf_meta=np.frombuffer(json.dumps({
@@ -134,6 +140,7 @@ def save_ivf(path, ivf: IVF):
             "queries_per_cluster": ivf.queries_per_cluster,
             "pass1_method": ivf.pass1_method,
             "scan_impl": ivf.scan_impl,
+            "build_probes": getattr(ivf, "build_probes", 2),
         }).encode(), dtype=np.uint8),
         all_centers=np.asarray(ivf.all_centers),
         active_centers=active_centers,
@@ -181,6 +188,7 @@ def load_ivf(path) -> IVF:
         ivf.queries_per_cluster = meta.get("queries_per_cluster")
         ivf.pass1_method = meta.get("pass1_method", "auto")
         ivf.scan_impl = meta.get("scan_impl", "auto")
+        ivf.build_probes = meta.get("build_probes", 2)
         ivf.pq = pq
         ivf.all_centers = np.asarray(data["all_centers"])
         ivf.active_centers = jnp.asarray(data["active_centers"])

@@ -150,6 +150,7 @@ class IVF:
 
         with timer(verbose, "Computing nearest clusters..."):
             n_probes_eff = min(n_probes, len(self.all_centers))
+            self.build_probes = n_probes_eff
             nearest = np.asarray(knn_brute(
                 data, self.all_centers, k=n_probes_eff, metric=self.metric))
 
@@ -269,7 +270,8 @@ class IVF:
                     dpb=self.pq.dims_per_block, metric=self.metric,
                     k=k, n_probes=n_probes, pass_1=pass_1, r=r,
                     r_tail=r_tail, qc=qc, qc0=qc0, method=method,
-                    scan_impl=scan_impl, max_tiles=self.max_tiles)
+                    scan_impl=scan_impl, max_tiles=self.max_tiles,
+                    build_probes=getattr(self, "build_probes", 2))
                 if _attempt + 1 == attempts or int(dropped) == 0:
                     break
                 if _attempt + 2 == attempts:  # last try: can't-drop caps
@@ -321,14 +323,18 @@ def _bucket_scan_round(probe_sub, tables_flat, csr_codes, csr_ids,
     probe_sub: (Q, Ps) cluster ids. Buckets the (query, probe) pairs by
     cluster (sort + run-position, static capacity ``qc``), scans each
     cluster once as a shared one-hot x tables int8 matmul on the MXU,
-    keeps the top-``r`` candidates per (cluster, query-slot), and
-    gathers them back per query. Returns ((Q, Ps, r) vals, ids,
-    flat row positions, dropped pair count).
+    and gathers each pair's candidate pool back per query. Returns
+    ``(vals f32[Q, Ps, W], rows int32[Q, Ps, W], dropped)`` — estimate
+    values (+inf = no candidate) and flat csr row indices; ids are NOT
+    decoded here (callers gather csr_ids only for the few candidates
+    that survive global selection).
 
-    scan_impl: 'fused' uses the ragged CSR Pallas kernel (only actual
-    list tiles are scanned; the estimate matrix never leaves VMEM);
-    'xla' is the portable fallback/oracle (densifies each list to
-    ``max_tiles`` tiles per cluster chunk).
+    scan_impl: 'fused' uses the ragged CSR Pallas fold kernel (only
+    actual list tiles are scanned, the estimate matrix never leaves
+    VMEM, and NO in-kernel top-r extraction happens — the pool is the
+    fold buffer itself, W = fold width >= r); 'xla' is the portable
+    fallback/oracle (densifies each list to ``max_tiles`` tiles per
+    cluster chunk and extracts top-``r`` per pair, W = r).
     """
     Q, Ps = probe_sub.shape
     C = tile_offsets.shape[0]
@@ -357,25 +363,15 @@ def _bucket_scan_round(probe_sub, tables_flat, csr_codes, csr_ids,
     slot_orig = slot_orig.reshape(Q, Ps)
 
     if scan_impl == "fused":
-        from ..ops.kernels import scan_select_csr
+        from ..ops.kernels import scan_fold_csr
         # tables already in the kernel's tiled layout (see _ivf_query)
         t_sel = tables_flat[jnp.maximum(qgrid, 0)]    # (C, qc, M) int8
-        vals, lpos = scan_select_csr(
-            t_sel, csr_codes, *scan_map, list_counts, r,
+        enc = scan_fold_csr(
+            t_sel, csr_codes, *scan_map, list_counts,
             fold_tiles=_fold_tiles(r, max_tiles), max_tiles=max_tiles,
-            interpret=jax.default_backend() != "tpu")
-        cand_vals = jnp.swapaxes(vals, 1, 2)          # (C, qc, r)
-        lpos = jnp.swapaxes(lpos, 1, 2)
-        valid = lpos >= 0
-        rowbase = tile_offsets.astype(jnp.int32) * LANE_TILE  # (C,)
-        flat_pos = jnp.minimum(
-            rowbase[:, None, None] + jnp.maximum(lpos, 0), n_rows - 1)
-        cand_ids = jnp.where(valid, csr_ids[flat_pos], -1)
-        cand_vals = jnp.where(valid, cand_vals, jnp.inf)
-        cand_pos = jnp.where(valid, flat_pos, 0)
-        cand_vals = cand_vals.reshape(C * qc, r)
-        cand_ids = cand_ids.reshape(C * qc, r)
-        cand_pos = cand_pos.reshape(C * qc, r)
+            interpret=jax.default_backend() != "tpu")  # (C, qc, S)
+        S = enc.shape[2]
+        enc_flat = enc.reshape(C * qc, S)
     else:
         n_chunks = -(-C // CLUSTER_CHUNK)
         C_pad = n_chunks * CLUSTER_CHUNK
@@ -393,7 +389,6 @@ def _bucket_scan_round(probe_sub, tables_flat, csr_codes, csr_ids,
             rows_k = _rows_of(toff_k, cap, n_rows)    # (CH, cap)
             in_list = (jnp.arange(cap, dtype=jnp.int32)[None, :]
                        < counts_k[:, None])
-            ids_k = jnp.where(in_list, csr_ids[rows_k], -1)
             # storage pads the packed width to 8 bytes; phantom blocks
             # beyond the logical M // 16 are sliced off after unpack
             onehot = jax.nn.one_hot(unpack_codes(codes_k)[..., :M // 16],
@@ -404,19 +399,16 @@ def _bucket_scan_round(probe_sub, tables_flat, csr_codes, csr_ids,
                 t_sel, onehot, (((2,), (2,)), ((0,), (0,))),
                 preferred_element_type=jnp.int32)     # (CH, qc, cap)
             est = est.astype(jnp.float32)
-            est = jnp.where(ids_k[:, None, :] >= 0, est, jnp.inf)
+            est = jnp.where(in_list[:, None, :], est, jnp.inf)
             vals, idx = pass1_topk(-est, r, method)   # (CH, qc, r)
-            cand_ids = jnp.take_along_axis(
-                jnp.broadcast_to(ids_k[:, None, :], est.shape), idx, axis=2)
             flat_pos = jnp.take_along_axis(
                 jnp.broadcast_to(rows_k[:, None, :], est.shape), idx,
                 axis=2)
-            return -vals, cand_ids, flat_pos
+            return -vals, flat_pos
 
-        cand_vals, cand_ids, cand_pos = jax.lax.map(
+        cand_vals, cand_pos = jax.lax.map(
             scan_chunk, (toff_g, counts_g, qgrid_g))
         cand_vals = cand_vals.reshape(C_pad * qc, r)
-        cand_ids = cand_ids.reshape(C_pad * qc, r)
         cand_pos = cand_pos.reshape(C_pad * qc, r)
 
     sl = jnp.minimum(slot_orig, qc - 1)
@@ -425,14 +417,28 @@ def _bucket_scan_round(probe_sub, tables_flat, csr_codes, csr_ids,
     # (cand_vals[probe_sub, sl]) hits a TPU runtime fault at large
     # (Q, P, qc) shapes — flattening sidesteps it and is faster anyway
     pair_idx = probe_sub * qc + sl                    # (Q, Ps)
-    my_vals = cand_vals[pair_idx]                     # (Q, Ps, r)
-    my_ids = cand_ids[pair_idx]
-    my_pos = cand_pos[pair_idx]
-    my_vals = jnp.where(valid_pair[:, :, None], my_vals, jnp.inf)
-    my_ids = jnp.where(valid_pair[:, :, None], my_ids, -1)
-    my_pos = jnp.where(valid_pair[:, :, None], my_pos, 0)
     dropped = jnp.sum((slot >= qc) & (sorted_c < C))
-    return my_vals, my_ids, my_pos, dropped
+    if scan_impl == "fused":
+        my_enc = enc_flat[pair_idx]                   # (Q, Ps, S)
+        col_bits = max(1, (max_tiles * LANE_TILE - 1).bit_length())
+        bias = 128 * (M // 16)
+        valid = (my_enc < jnp.int32(2**31 - 1)) & valid_pair[:, :, None]
+        my_vals = jnp.where(
+            valid,
+            (jax.lax.shift_right_logical(my_enc, jnp.int32(col_bits))
+             - jnp.int32(bias)).astype(jnp.float32),
+            jnp.inf)
+        pos = my_enc & jnp.int32((1 << col_bits) - 1)
+        rowbase = (tile_offsets.astype(jnp.int32) * LANE_TILE)[
+            jnp.minimum(probe_sub, C - 1)]            # (Q, Ps)
+        my_rows = jnp.minimum(rowbase[:, :, None] + pos, n_rows - 1)
+        my_rows = jnp.where(valid, my_rows, 0)
+        return my_vals, my_rows, dropped
+    my_vals = cand_vals[pair_idx]                     # (Q, Ps, r)
+    my_rows = cand_pos[pair_idx]
+    my_vals = jnp.where(valid_pair[:, :, None], my_vals, jnp.inf)
+    my_rows = jnp.where(valid_pair[:, :, None], my_rows, 0)
+    return my_vals, my_rows, dropped
 
 
 def default_qc0(Q: int, C: int) -> int:
@@ -446,13 +452,15 @@ def default_qc0(Q: int, C: int) -> int:
 
 @partial(jax.jit, static_argnames=("dpb", "metric", "k", "n_probes",
                                    "pass_1", "r", "r_tail", "qc", "qc0",
-                                   "method", "scan_impl", "max_tiles"))
+                                   "method", "scan_impl", "max_tiles",
+                                   "build_probes"))
 def _ivf_query(q, center_blocks, R, active_centers, csr_codes, csr_ids,
                tile_offsets, list_counts, scan_map, data, *, dpb: int,
                metric: str,
                k: int, n_probes: int, pass_1: int, r: int, r_tail: int,
                qc: int, qc0: int, method: str = "exact",
-               scan_impl: str = "xla", max_tiles: int = 1):
+               scan_impl: str = "xla", max_tiles: int = 1,
+               build_probes: int = 2):
     """The full batched IVF query step — one jitted computation.
 
     Stages (Q queries, C clusters, cap list capacity, P probes):
@@ -494,37 +502,50 @@ def _ivf_query(q, center_blocks, R, active_centers, csr_codes, csr_ids,
     # load; heavily skewed query batches (everyone near one cluster) can
     # exceed them — dropped pairs (both rounds) feed the caller's retry
     # escalation, and queries_per_cluster overrides the capacity.
-    v0, i0, _, drop0 = _bucket_scan_round(
+    v0, rows0, drop0 = _bucket_scan_round(
         probe_sel[:, :1], tables_flat, csr_codes, csr_ids, tile_offsets,
         list_counts, scan_map, qc=qc0, r=r, method=method,
         scan_impl=scan_impl, max_tiles=max_tiles)
     if P > 1:
-        v1, i1, _, drop1 = _bucket_scan_round(
+        v1, rows1, drop1 = _bucket_scan_round(
             probe_sel[:, 1:], tables_flat, csr_codes, csr_ids,
             tile_offsets, list_counts, scan_map, qc=qc, r=r_tail,
             method=method, scan_impl=scan_impl, max_tiles=max_tiles)
         flat_vals = jnp.concatenate(
             [v0.reshape(Q, -1), v1.reshape(Q, -1)], axis=1)
-        flat_ids = jnp.concatenate(
-            [i0.reshape(Q, -1), i1.reshape(Q, -1)], axis=1)
+        flat_rows = jnp.concatenate(
+            [rows0.reshape(Q, -1), rows1.reshape(Q, -1)], axis=1)
         dropped = drop0 + drop1
     else:
         flat_vals = v0.reshape(Q, -1)
-        flat_ids = i0.reshape(Q, -1)
+        flat_rows = rows0.reshape(Q, -1)
         dropped = drop0
 
-    # -- 4. dedup, global top-pass_1
-    flat_vals = jnp.where(flat_ids >= 0, flat_vals, jnp.inf)
-    flat_ids, flat_vals = dedup_candidates(flat_ids, flat_vals)
-    p1 = min(pass_1, flat_ids.shape[1])
-    _, top_pos = jax.lax.top_k(-flat_vals, p1)
-    cand = jnp.take_along_axis(flat_ids, top_pos, axis=1)  # (Q, p1)
+    # -- 4. global top candidate pool. No duplicate handling here: a
+    # sort-based dedup of the full (Q, width) pool costs ~half the whole
+    # query at GloVe scale. A point spilled by build_probes appears in
+    # at most f = min(build_probes, n_probes) probed lists (with equal
+    # estimates), so selecting f * pass_1 slots guarantees >= pass_1
+    # unique candidates; duplicates ride into the rescore and are
+    # removed there on a k*f-wide sliver (the reference dedups inside
+    # its heap, tinyknn/_fast_pq.pyx:285-287).
+    f = min(build_probes, n_probes)
+    p1 = min(f * pass_1, flat_vals.shape[1])
+    vsel, top_pos = pass1_topk(-flat_vals, p1, method)
+    rows_sel = jnp.take_along_axis(flat_rows, top_pos, axis=1)
+    cand = jnp.where(jnp.isfinite(vsel), csr_ids[rows_sel], -1)  # (Q, p1)
 
-    # -- 5. exact rescore
+    # -- 5. exact rescore (+ tiny post-rescore dedup when f > 1)
     gathered = data[jnp.maximum(cand, 0)]             # (Q, p1, d)
     diff = gathered - q[:, None, :]
     d2 = jnp.einsum("qrd,qrd->qr", diff, diff)
     d2 = jnp.where(cand >= 0, d2, jnp.inf)
+    if f > 1:
+        k2 = min(k * f, p1)
+        _, best = jax.lax.top_k(-d2, k2)
+        cand = jnp.take_along_axis(cand, best, axis=1)
+        d2 = jnp.take_along_axis(d2, best, axis=1)
+        cand, d2 = dedup_candidates(cand, d2)
     _, best = jax.lax.top_k(-d2, k)
     out = jnp.take_along_axis(cand, best, axis=1)
     out_d2 = jnp.take_along_axis(d2, best, axis=1)

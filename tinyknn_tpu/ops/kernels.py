@@ -360,7 +360,7 @@ def _unpack_evens_odds_T(codes_i32):
 def _scan_select_csr_kernel(cl_ref, tile_ref, tpos_ref, last_ref,
                             counts_ref, tsel_ref, codes_ref,
                             vals_ref, idx_ref, folded,
-                            *, r: int, W: int, enc_bias: int,
+                            *, r: int, W: int, tps: int, enc_bias: int,
                             col_bits: int):
     t = pl.program_id(0)
     tp = tpos_ref[t]
@@ -372,23 +372,25 @@ def _scan_select_csr_kernel(cl_ref, tile_ref, tpos_ref, last_ref,
     def _():
         folded[...] = jnp.full((S, qc), _ENC_BIG, jnp.int32)
 
-    codes = codes_ref[0].astype(jnp.int32)        # (Bs, 128)
-    codes = _unpack_evens_odds_T(codes)           # (B, 128)
-    onehot = _onehot_tiled_T(codes)               # (16B, 128) int8
-    # est transposed to (128, qc): candidates on sublanes, query slots
-    # on lanes — the fold/extraction reductions then run down sublanes
-    # (cheap) and every emit is one lane-contiguous row write.
-    est = jax.lax.dot_general(
-        onehot, tsel_ref[0], (((0,), (1,)), ((), ())),
-        preferred_element_type=jnp.int32)         # (128, qc)
-    subl = jax.lax.broadcasted_iota(jnp.int32, est.shape, 0)
-    pos = tp * LANE_TILE + subl                   # position within list
-    enc = jax.lax.shift_left(est + jnp.int32(enc_bias),
-                             jnp.int32(col_bits)) | pos
-    enc = jnp.where(pos < count, enc, _ENC_BIG)
-    seg = pl.multiple_of(jax.lax.rem(tp, W) * LANE_TILE, LANE_TILE)
-    folded[pl.ds(seg, LANE_TILE), :] = jnp.minimum(
-        folded[pl.ds(seg, LANE_TILE), :], enc)
+    for i in range(tps):                          # static unroll
+        codes = codes_ref[i].astype(jnp.int32)    # (Bs, 128)
+        codes = _unpack_evens_odds_T(codes)       # (B, 128)
+        onehot = _onehot_tiled_T(codes)           # (16B, 128) int8
+        # est transposed to (128, qc): candidates on sublanes, query
+        # slots on lanes — the fold/extraction reductions then run down
+        # sublanes (cheap) and every emit is one lane-contiguous row.
+        est = jax.lax.dot_general(
+            onehot, tsel_ref[0], (((0,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32)     # (128, qc)
+        subl = jax.lax.broadcasted_iota(jnp.int32, est.shape, 0)
+        ti = tp * tps + i                         # 128-tile index in list
+        pos = ti * LANE_TILE + subl               # position within list
+        enc = jax.lax.shift_left(est + jnp.int32(enc_bias),
+                                 jnp.int32(col_bits)) | pos
+        enc = jnp.where(pos < count, enc, _ENC_BIG)
+        seg = pl.multiple_of(jax.lax.rem(ti, W) * LANE_TILE, LANE_TILE)
+        folded[pl.ds(seg, LANE_TILE), :] = jnp.minimum(
+            folded[pl.ds(seg, LANE_TILE), :], enc)
 
     @pl.when(last_ref[t] == 1)
     def _():
@@ -406,11 +408,119 @@ def _scan_select_csr_kernel(cl_ref, tile_ref, tpos_ref, last_ref,
         jax.lax.fori_loop(0, r, extract, folded[...])
 
 
+def _scan_fold_csr_kernel(cl_ref, tile_ref, tpos_ref, last_ref,
+                          counts_ref, tsel_ref, codes_ref, enc_ref,
+                          folded, *, W: int, tps: int, enc_bias: int,
+                          col_bits: int):
+    """Fold-emit variant: scan + encoded min-fold only, NO in-kernel
+    top-r extraction — the (qc, S) fold buffer itself is the output.
+    Downstream, every (query, probe) pair's candidate pool is its fold
+    row, and one approx_max_k per query replaces what used to be r
+    sequential min+invalidate passes per cluster (measured ~45% of the
+    whole GloVe-scale query)."""
+    t = pl.program_id(0)
+    tp = tpos_ref[t]
+    count = counts_ref[cl_ref[t]]
+    S = W * LANE_TILE
+    qc = folded.shape[0]
+
+    @pl.when(tp == 0)
+    def _():
+        folded[...] = jnp.full((qc, S), _ENC_BIG, jnp.int32)
+
+    for i in range(tps):                          # static unroll
+        codes = codes_ref[i].astype(jnp.int32)    # (Bs, 128)
+        codes = _unpack_evens_odds_T(codes)       # (B, 128)
+        onehot = _onehot_tiled_T(codes)           # (16B, 128) int8
+        est = jax.lax.dot_general(
+            tsel_ref[0], onehot, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32)     # (qc, 128)
+        lane = jax.lax.broadcasted_iota(jnp.int32, est.shape, 1)
+        ti = tp * tps + i
+        pos = ti * LANE_TILE + lane               # position within list
+        enc = jax.lax.shift_left(est + jnp.int32(enc_bias),
+                                 jnp.int32(col_bits)) | pos
+        enc = jnp.where(pos < count, enc, _ENC_BIG)
+        seg = pl.multiple_of(jax.lax.rem(ti, W) * LANE_TILE, LANE_TILE)
+        folded[:, pl.ds(seg, LANE_TILE)] = jnp.minimum(
+            folded[:, pl.ds(seg, LANE_TILE)], enc)
+
+    @pl.when(last_ref[t] == 1)
+    def _():
+        enc_ref[0] = folded[...]
+
+
+@partial(jax.jit, static_argnames=("fold_tiles", "max_tiles",
+                                   "tiles_per_step", "interpret"))
+def scan_fold_csr(tables_sel, codes_tiled, scan_cl, scan_tile,
+                  scan_tpos, scan_last, counts,
+                  fold_tiles: int = 4, max_tiles: int = 1,
+                  tiles_per_step: int = 1, interpret: bool = False):
+    """Ragged fused scan over CSR-tiled lists, emitting the encoded
+    fold buffer per (cluster, query slot) instead of extracted top-r.
+
+    Same inputs as scan_select_csr. Returns enc int32[C, qc, S] with
+    S = fold_tiles * 128: entry [c, s, j] is the encoded
+    ``(est + 128B) << col_bits | position`` minimum over list c's
+    positions congruent to j (mod S) for query slot s, or 2^31-1 if
+    empty. Decode: valid = enc < 2^31-1; est = (enc >> col_bits) -
+    128B; position = enc & ((1 << col_bits) - 1) with col_bits =
+    bit_length(max_tiles * 128 - 1).
+    """
+    C, qc, M = tables_sel.shape
+    B = M // 16
+    assert B == 2 * codes_tiled.shape[1], "codes must be nibble-packed"
+    assert codes_tiled.shape[2] == LANE_TILE
+    col_bits = max(1, (max_tiles * LANE_TILE - 1).bit_length())
+    enc_bias = 128 * B
+    assert (255 * B + 1) << col_bits <= 2**31 - 1, (
+        f"list too long for int32 encoding: max_tiles={max_tiles}, B={B};"
+        " use scan_impl='xla'")
+    W = fold_tiles
+    tps = tiles_per_step
+    assert codes_tiled.shape[0] % tps == 0
+    G = scan_cl.shape[0]
+    S = W * LANE_TILE
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=5,
+        grid=(G,),
+        in_specs=[
+            pl.BlockSpec((1, qc, M),
+                         lambda t, cl, ti, tp, lst, cnt: (cl[t], 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tps, codes_tiled.shape[1], LANE_TILE),
+                         lambda t, cl, ti, tp, lst, cnt: (ti[t], 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, qc, S),
+                         lambda t, cl, ti, tp, lst, cnt: (cl[t], 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((qc, S), jnp.int32),
+        ],
+    )
+    enc, = pl.pallas_call(
+        partial(_scan_fold_csr_kernel, W=W, tps=tps,
+                enc_bias=enc_bias, col_bits=col_bits),
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((C, qc, S), jnp.int32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 2**20),
+        interpret=interpret,
+    )(scan_cl.astype(jnp.int32), scan_tile.astype(jnp.int32),
+      scan_tpos.astype(jnp.int32), scan_last.astype(jnp.int32),
+      counts.astype(jnp.int32), tables_sel, codes_tiled)
+    return enc
+
+
 @partial(jax.jit, static_argnames=("r", "fold_tiles", "max_tiles",
-                                   "interpret"))
+                                   "tiles_per_step", "interpret"))
 def scan_select_csr(tables_sel, codes_tiled, scan_cl, scan_tile,
                     scan_tpos, scan_last, counts, r: int,
                     fold_tiles: int = 4, max_tiles: int = 1,
+                    tiles_per_step: int = 1,
                     interpret: bool = False):
     """Ragged fused scan + top-r over CSR-tiled inverted lists.
 
@@ -449,6 +559,10 @@ def scan_select_csr(tables_sel, codes_tiled, scan_cl, scan_tile,
         f"list too long for int32 encoding: max_tiles={max_tiles}, B={B};"
         " use scan_impl='xla'")
     W = fold_tiles
+    tps = tiles_per_step
+    assert codes_tiled.shape[0] % tps == 0, (
+        "storage must be aligned to tiles_per_step "
+        "(invert_assignments_csr_tiled align_tiles)")
     G = scan_cl.shape[0]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=5,
@@ -457,7 +571,7 @@ def scan_select_csr(tables_sel, codes_tiled, scan_cl, scan_tile,
             pl.BlockSpec((1, qc, M),
                          lambda t, cl, ti, tp, lst, cnt: (cl[t], 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, codes_tiled.shape[1], LANE_TILE),
+            pl.BlockSpec((tps, codes_tiled.shape[1], LANE_TILE),
                          lambda t, cl, ti, tp, lst, cnt: (ti[t], 0, 0),
                          memory_space=pltpu.VMEM),
         ],
@@ -474,7 +588,7 @@ def scan_select_csr(tables_sel, codes_tiled, scan_cl, scan_tile,
         ],
     )
     vals, pos = pl.pallas_call(
-        partial(_scan_select_csr_kernel, r=r, W=W,
+        partial(_scan_select_csr_kernel, r=r, W=W, tps=tps,
                 enc_bias=enc_bias, col_bits=col_bits),
         grid_spec=grid_spec,
         out_shape=[

@@ -199,7 +199,8 @@ class ShardedIVF(IVF):
                 mesh=self.mesh, axis=self.axis, query_axis=self.query_axis,
                 metric=self.metric, k=k, n_probes=n_probes, pass_1=pass_1,
                 r=r, r_tail=r_tail, qc=qc, qc0=qc0, method=method,
-                scan_impl=scan_impl, max_tiles=self.max_tiles)
+                scan_impl=scan_impl, max_tiles=self.max_tiles,
+                build_probes=getattr(self, "build_probes", 2))
             if _attempt + 1 == attempts or int(dropped) == 0:
                 break
             if _attempt + 2 == attempts:  # last try: can't-drop caps
@@ -224,11 +225,12 @@ class ShardedIVF(IVF):
 @partial(jax.jit,
          static_argnames=("mesh", "axis", "query_axis", "metric", "k",
                           "n_probes", "pass_1", "r", "r_tail", "qc", "qc0",
-                          "method", "scan_impl", "max_tiles"))
+                          "method", "scan_impl", "max_tiles",
+                          "build_probes"))
 def _sharded_query(q, tables, centers, csr_codes, csr_ids, tile_offsets,
                    list_counts, scan_map, list_vecs, *, mesh, axis,
                    query_axis, metric, k, n_probes, pass_1, r, r_tail,
-                   qc, qc0, method, scan_impl, max_tiles):
+                   qc, qc0, method, scan_impl, max_tiles, build_probes):
     spec_s = P(axis)
     spec_q = P(query_axis) if query_axis else P()
     spec_r = P()
@@ -238,7 +240,7 @@ def _sharded_query(q, tables, centers, csr_codes, csr_ids, tile_offsets,
                    metric=metric, k=k,
                    n_probes=n_probes, pass_1=pass_1, r=r, r_tail=r_tail,
                    qc=qc, qc0=qc0, method=method, scan_impl=scan_impl,
-                   max_tiles=max_tiles)
+                   max_tiles=max_tiles, build_probes=build_probes)
     # check_vma=False: outputs are replicated along the cluster axis by
     # construction (they come out of an all_gather/psum + identical
     # replicated math), which the varying-axes checker cannot infer
@@ -256,7 +258,7 @@ def _sharded_query(q, tables, centers, csr_codes, csr_ids, tile_offsets,
 def _shard_local_query(q, tables, centers, codes_l, ids_l, toff_l,
                        counts_l, scan_map_l, vecs_l, *, axis, psum_axes,
                        metric, k, n_probes, pass_1, r, r_tail, qc, qc0,
-                       method, scan_impl, max_tiles):
+                       method, scan_impl, max_tiles, build_probes):
     """Per-shard body: local two-round bucketed scan (shared with the
     single-chip path, models/ivf.py) + local rescore + gather-merge.
     codes_l/ids_l/toff_l/counts_l are the shard's local CSR tile arrays;
@@ -291,13 +293,13 @@ def _shard_local_query(q, tables, centers, codes_l, ids_l, toff_l,
         from ..ops.kernels import permute_tables_csr
         tables_flat = permute_tables_csr(tables_flat, B)
 
-    v0, i0, p0, drop0 = _bucket_scan_round(
+    v0, rows0, drop0 = _bucket_scan_round(
         probes_local[:, :1], tables_flat, codes_l, ids_l, toff_l,
         counts_l, scan_map_l, qc=qc0, r=r, method=method,
         scan_impl=scan_impl, max_tiles=max_tiles)
     dropped = drop0
     if P_ > 1:
-        v1, i1, p1, drop1 = _bucket_scan_round(
+        v1, rows1, drop1 = _bucket_scan_round(
             probes_local[:, 1:], tables_flat, codes_l, ids_l, toff_l,
             counts_l, scan_map_l, qc=qc, r=r_tail, method=method,
             scan_impl=scan_impl, max_tiles=max_tiles)
@@ -307,31 +309,36 @@ def _shard_local_query(q, tables, centers, codes_l, ids_l, toff_l,
         flat_vals = jnp.concatenate(
             [jnp.where(ok0, v0, jnp.inf).reshape(Q, -1),
              jnp.where(ok1, v1, jnp.inf).reshape(Q, -1)], axis=1)
-        flat_ids = jnp.concatenate(
-            [jnp.where(ok0, i0, -1).reshape(Q, -1),
-             jnp.where(ok1, i1, -1).reshape(Q, -1)], axis=1)
-        flat_pos = jnp.concatenate(
-            [jnp.where(ok0, p0, 0).reshape(Q, -1),
-             jnp.where(ok1, p1, 0).reshape(Q, -1)], axis=1)
+        flat_rows = jnp.concatenate(
+            [jnp.where(ok0, rows0, 0).reshape(Q, -1),
+             jnp.where(ok1, rows1, 0).reshape(Q, -1)], axis=1)
     else:
         ok0 = is_local[:, :1, None]
         flat_vals = jnp.where(ok0, v0, jnp.inf).reshape(Q, -1)
-        flat_ids = jnp.where(ok0, i0, -1).reshape(Q, -1)
-        flat_pos = jnp.where(ok0, p0, 0).reshape(Q, -1)
+        flat_rows = jnp.where(ok0, rows0, 0).reshape(Q, -1)
 
-    flat_vals = jnp.where(flat_ids >= 0, flat_vals, jnp.inf)
-    # local dedup of build-spill duplicates
-    dd_ids, dd_vals = dedup_candidates(flat_ids, flat_vals)
-    p1_eff = min(pass_1, dd_ids.shape[1])
-    _, top_pos = jax.lax.top_k(-dd_vals, p1_eff)
-    cand = jnp.take_along_axis(dd_ids, top_pos, axis=1)
-    cand_p = jnp.take_along_axis(flat_pos, top_pos, axis=1)
+    # No big-pool dedup (costs ~half the query at scale): duplicates
+    # are bounded by f = min(build_probes, n_probes); select f * pass_1
+    # slots so >= pass_1 unique candidates reach the rescore, then
+    # dedup post-rescore on a k*f sliver (see models/ivf.py).
+    from ..models.fast_pq import pass1_topk
+    f = min(build_probes, n_probes)
+    p1_eff = min(f * pass_1, flat_vals.shape[1])
+    vsel, top_pos = pass1_topk(-flat_vals, p1_eff, method)
+    cand_p = jnp.take_along_axis(flat_rows, top_pos, axis=1)
+    cand = jnp.where(jnp.isfinite(vsel), ids_l[cand_p], -1)
 
     # ---- local exact rescore from the shard's flat vector array
     gathered = vecs_l[jnp.clip(cand_p, 0, vecs_l.shape[0] - 1)]
     diff = gathered - q[:, None, :]
     d2 = jnp.einsum("qrd,qrd->qr", diff, diff)
     d2 = jnp.where(cand >= 0, d2, jnp.inf)
+    if f > 1:
+        k2 = min(k * f, p1_eff)
+        _, best = jax.lax.top_k(-d2, k2)
+        cand = jnp.take_along_axis(cand, best, axis=1)
+        d2 = jnp.take_along_axis(d2, best, axis=1)
+        cand, d2 = dedup_candidates(cand, d2)
     _, best = jax.lax.top_k(-d2, k)
     loc_ids = jnp.take_along_axis(cand, best, axis=1)   # (Q, k)
     loc_d2 = jnp.take_along_axis(d2, best, axis=1)

@@ -63,7 +63,7 @@ def invert_assignments(assignments, n_lists: int, pad_to: int = 8,
 
 
 def invert_assignments_csr_tiled(assignments, n_lists: int,
-                                 tile: int = 128):
+                                 tile: int = 128, align_tiles: int = 1):
     """Lane-tiled CSR inverted lists for the ragged Pallas scan.
 
     Each list's member ids are laid out contiguously and padded with -1
@@ -93,9 +93,11 @@ def invert_assignments_csr_tiled(assignments, n_lists: int,
         "assignments out of range"
     counts = np.bincount(flat, minlength=n_lists).astype(np.int32)
     ntiles = -(-counts.astype(np.int64) // tile)
+    if align_tiles > 1:  # lists start on multi-tile kernel-step bounds
+        ntiles = -(-ntiles // align_tiles) * align_tiles
     tile_offsets64 = np.zeros(n_lists, dtype=np.int64)
     np.cumsum(ntiles[:-1], out=tile_offsets64[1:])
-    total = int(ntiles.sum()) + 1  # +1 guard tile for kernel over-read
+    total = int(ntiles.sum()) + max(1, align_tiles)  # + guard tile(s)
     flat_ids = np.full(total * tile, -1, dtype=np.int32)
 
     order = np.argsort(flat, kind="stable")
@@ -109,31 +111,34 @@ def invert_assignments_csr_tiled(assignments, n_lists: int,
 
 
 def csr_scan_map(tile_offsets, counts, n_tiles_total: int,
-                 tile: int = 128):
+                 tile: int = 128, tiles_per_step: int = 1):
     """Flat-grid step maps for the CSR scan kernel.
 
-    The kernel runs one grid step per 128-point list tile (plus one
-    dummy step per *empty* list, pointing at the guard tile, so every
-    list's output block gets written). Returns int32 arrays
-    ``(cl, tile_idx, tpos, last)`` of length G = sum(max(1, ntiles_i)):
-    owning list, storage tile index, position within the list's tile
-    walk, and a last-tile flag that triggers candidate extraction.
+    The kernel runs one grid step per ``tiles_per_step`` 128-point list
+    tiles (plus one dummy step per *empty* list, pointing at the guard
+    tile, so every list's output block gets written); lists must be
+    aligned to ``tiles_per_step`` tiles (invert_assignments_csr_tiled's
+    ``align_tiles``). Returns int32 arrays ``(cl, step_idx, tpos,
+    last)`` of length G: owning list, storage block index (in
+    tiles_per_step units), position within the list's walk, and a
+    last-step flag that triggers candidate extraction.
     """
     toff = np.asarray(tile_offsets, dtype=np.int64)
     counts = np.asarray(counts, dtype=np.int64)
     C = counts.shape[0]
-    ntiles = -(-counts // tile)
-    n_eff = np.maximum(ntiles, 1)
+    tps = tiles_per_step
+    nsteps = -(-counts // (tile * tps))
+    n_eff = np.maximum(nsteps, 1)
     G = int(n_eff.sum())
     cl = np.repeat(np.arange(C, dtype=np.int32), n_eff)
     starts = np.zeros(C + 1, np.int64)
     np.cumsum(n_eff, out=starts[1:])
     tpos = (np.arange(G, dtype=np.int64) - starts[cl]).astype(np.int32)
-    tile_idx = (toff[cl] + tpos).astype(np.int32)
-    tile_idx = np.where(ntiles[cl] == 0,
-                        np.int32(n_tiles_total - 1), tile_idx)
+    step_idx = (toff[cl] // tps + tpos).astype(np.int32)
+    step_idx = np.where(nsteps[cl] == 0,
+                        np.int32(n_tiles_total // tps - 1), step_idx)
     last = (tpos == (n_eff[cl] - 1)).astype(np.int32)
-    return cl, tile_idx, tpos, last
+    return cl, step_idx, tpos, last
 
 
 def invert_assignments_csr(assignments, n_lists: int):
