@@ -40,7 +40,11 @@ def main():
 
     # ---- workload: reference examples/example.py config
     n, d, nq, dpb = 16000, 128, 1000, 2
-    reps = 20
+    # Enough in-jit batches that the ~28 ms relay dispatch+sync constant
+    # is amortized away: the metric is the steady-state per-batch rate a
+    # serving deployment sees, measured at the margin (see
+    # docs/PERFORMANCE.md "Measurement methodology").
+    reps = 200
     np.random.seed(10)
     X = np.random.randn(n, d).astype(np.float32)
     qs = np.random.randn(nq, d).astype(np.float32)
@@ -86,8 +90,9 @@ def main():
         np.asarray(sweep(qb))
         elapsed = min(elapsed, time.time() - t0)
     qps = reps * nq / elapsed
-    log(f"full-scan tables+estimate: {elapsed/reps*1000:.2f}ms per {nq} "
-        f"queries -> {qps:.0f} QPS")
+    log(f"full-scan tables+estimate: {elapsed/reps*1000:.3f}ms per {nq} "
+        f"queries -> {qps:.0f} QPS sustained "
+        f"({reps} batches + one dispatch in {elapsed*1000:.0f}ms)")
 
     # ---- quality gate: true-NN rank distribution of the estimates
     # (computed on device: only the (nq,) ranks come back — full-est
@@ -140,7 +145,7 @@ def main():
     # ---- batch-size scaling detail (M=1000 is the matmul's thin dim;
     # larger query batches raise MXU utilization — docs/PERFORMANCE.md)
     for nq_big in (4000, 8000):
-        reps_b = max(1, 20000 // nq_big)
+        reps_b = max(1, 200000 // nq_big)
         qs_big = jnp.tile(qs_j, (nq_big // nq, 1))
         jb = jnp.arange(reps_b, dtype=jnp.float32)[:, None, None] * 1e-6
         qbb = jnp.broadcast_to(qs_big, (reps_b, nq_big, d)) + jb

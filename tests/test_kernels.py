@@ -46,6 +46,20 @@ def test_pallas_packed_matches_xla(n, b, q):
     np.testing.assert_array_equal(a, x)
 
 
+@pytest.mark.parametrize("n, b, q", product([16, 200], [8, 56], [1, 9]))
+def test_estimate_tiled_matches_xla(n, b, q):
+    """Transposed-tile estimate kernel vs the XLA oracle (padding rows
+    and phantom pad blocks must not leak into real outputs)."""
+    from tinyknn_tpu.ops.kernels import estimate_scan_tiled, tile_codes
+    from tinyknn_tpu.ops.packing import pack_codes
+    codes = np.random.randint(0, 16, size=(n, b), dtype=np.uint8)
+    tables = np.random.randint(-128, 128, size=(q, b, 16)).astype(np.int8)
+    tiled = tile_codes(np.asarray(pack_codes(codes)))
+    a = np.asarray(estimate_scan_tiled(tiled, tables, interpret=True))
+    x = np.asarray(estimate_scan_xla(codes, tables))
+    np.testing.assert_array_equal(a[:, :n], x)
+
+
 def _csr_oracle(tables, codes, flat_ids, tile_offsets, counts, r, W):
     """Exact NumPy model of scan_select_csr: per (cluster, query slot),
     fold list positions into W*128 classes keeping the (value, position)

@@ -319,6 +319,73 @@ def scan_select_pallas(tables_sel, codes, counts, r: int,
 
 
 # --------------------------------------------------------------------
+# Transposed-tile full-scan estimate kernel.
+#
+# The row-layout estimate kernel above loses to XLA's one-hot matmul
+# (B < 128 starves the compare lanes). This variant consumes the CSR
+# tile layout — codes as (n/128, Bs, 128) nibble-packed tiles, points
+# on lanes — so the 16 one-hot compares run at full lane width and the
+# MXU contraction needs no transposes: per tile,
+# out[:, t*128:(t+1)*128] = tables_tiled @ one_hot(codes_tile).
+# --------------------------------------------------------------------
+
+
+def _estimate_T_kernel(tsel_ref, codes_ref, out_ref):
+    codes = codes_ref[0].astype(jnp.int32)            # (Bs, 128)
+    codes = _unpack_evens_odds_T(codes)               # (B, 128)
+    onehot = _onehot_tiled_T(codes)                   # (16B, 128) int8
+    out_ref[...] = jax.lax.dot_general(
+        tsel_ref[...], onehot, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32)             # (Q_pad, 128)
+
+
+@partial(jax.jit, static_argnames=("interpret",))
+def estimate_scan_tiled(codes_tiled, tables, interpret: bool = False):
+    """Full-scan ADC estimate over pre-tiled packed codes.
+
+    codes_tiled: uint8[T, Bs_pad, 128] (tile_codes / pack_codes_tiled
+    layout); tables: int8[Q, B, 16]. Returns int32[Q, T * 128].
+    """
+    T = codes_tiled.shape[0]
+    Q, B, _ = tables.shape
+    q_pad = round_up(max(Q, 8), 8)
+    tsel = permute_tables_csr(tables.reshape(Q, 16 * B), B)
+    M = tsel.shape[1]
+    if q_pad != Q:
+        tsel = jnp.pad(tsel, ((0, q_pad - Q), (0, 0)))
+    out = pl.pallas_call(
+        _estimate_T_kernel,
+        grid=(T,),
+        in_specs=[
+            pl.BlockSpec((q_pad, M), lambda t: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, codes_tiled.shape[1], LANE_TILE),
+                         lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((q_pad, LANE_TILE), lambda t: (0, t),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((q_pad, T * LANE_TILE), jnp.int32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 2**20),
+        interpret=interpret,
+    )(tsel, codes_tiled)
+    return out[:Q]
+
+
+@jax.jit
+def tile_codes(codes_packed):
+    """uint8[n, Bs] packed codes -> the (T, Bs_pad, 128) tile layout
+    consumed by estimate_scan_tiled (rows padded to a 128 multiple
+    with zeros; Bs padded to 8 like pack_codes_tiled)."""
+    n, Bs = codes_packed.shape
+    n_pad = round_up(max(n, LANE_TILE), LANE_TILE)
+    rows = jnp.pad(codes_packed,
+                   ((0, n_pad - n), (0, round_up(Bs, 8) - Bs)))
+    return rows.reshape(n_pad // LANE_TILE, LANE_TILE, -1
+                        ).transpose(0, 2, 1)
+
+
+# --------------------------------------------------------------------
 # CSR ragged-list scan+select kernel.
 #
 # The dense-grid kernel above pads every inverted list to the longest
