@@ -116,17 +116,14 @@ def main():
     # ---- end-to-end two-pass search QPS (not the headline, for the record)
     Xj = jnp.asarray(X)
 
+    from tinyknn_tpu.models.fast_pq import _two_pass_top
+
     @jax.jit
     def sweep_top(qbatches):
         def body(q):
             qt = _build_tables(q, cb, None, dpb, True)
-            est = estimate_scan(codes, qt.tables, backend, packed=True)
-            _, cand = pass1_topk(-est.astype(jnp.float32), 30, "approx")
-            g = Xj[cand]
-            diff = g - q[:, None, :]
-            d2 = jnp.einsum("qrd,qrd->qr", diff, diff)
-            _, best = jax.lax.top_k(-d2, 10)
-            out = jnp.take_along_axis(cand, best, axis=1)
+            out = _two_pass_top(codes, qt.tables, q, Xj, n, 10, 30,
+                                backend, "approx")
             return out[0, 0] + out[nq - 1, 9]
         return jax.lax.map(body, qbatches)
 

@@ -358,6 +358,24 @@ def _fused_search(q, codes, data, center_blocks, R, dpb: int, signed: bool,
                                    "method"))
 def _two_pass_top(codes, tables, raw_q, data, true_n: int, k: int,
                   rescore: int, backend: str, method: str):
+    from ..ops.scan import _default_backend
+    backend_eff = _default_backend() if backend in (None, "auto") \
+        else backend
+    if (backend_eff == "pallas" and method == "approx"
+            and tables.dtype == jnp.int8 and rescore > k):
+        # Fused scan+fold+select: the (Q, n) estimate matrix never
+        # reaches HBM; candidates are encoded fold-class minima (the
+        # approx_max_k relaxation) decoded straight to row indices.
+        from ..ops.kernels import fold_topk_tiled, tile_codes
+        cand, valid = fold_topk_tiled(
+            tile_codes(codes), tables, true_n, rescore,
+            interpret=jax.default_backend() != "tpu")
+        gathered = data[cand]                        # (Q, rescore, d)
+        diff = gathered - raw_q[:, None, :]
+        d2 = jnp.einsum("qrd,qrd->qr", diff, diff)
+        d2 = jnp.where(valid, d2, jnp.inf)
+        _, best = jax.lax.top_k(-d2, k)
+        return jnp.take_along_axis(cand, best, axis=1)
     est = estimate_scan(codes, tables, backend, packed=True)  # (Q, n_pad)
     n_pad = codes.shape[0]
     if n_pad > true_n:

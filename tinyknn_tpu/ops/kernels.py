@@ -338,6 +338,62 @@ def estimate_scan_tiled(codes_tiled, tables, interpret: bool = False):
     return out[:Q]
 
 
+def fold_topk_tiled(codes_tiled, tables, true_n: int, rescore: int,
+                    interpret: bool = False):
+    """Fused full-scan + approximate top-``rescore`` candidate select.
+
+    Runs the scan_fold_csr machinery over the whole corpus (segmented
+    into pseudo-lists sized to the int32 encoding headroom, tables
+    broadcast per segment): the (Q, n) estimate matrix never reaches
+    HBM — only the (Q, segments * S) encoded fold pool does. Returns
+    ``(rows int32[Q, rescore], valid bool[Q, rescore])`` — row indices
+    into the original code matrix.
+
+    Approximation: candidates are fold-class minima (position mod S
+    per segment), the same relaxation as approx_max_k; S is sized
+    ~8x rescore. Requires int8 tables (the encoded domain).
+    """
+    import numpy as np
+    from ..utils.grouping import csr_scan_map
+    T, Bs_pad, _ = codes_tiled.shape
+    Q, B, _ = tables.shape
+    B_pad = 2 * Bs_pad
+    assert true_n >= 1 and true_n <= T * LANE_TILE
+    # largest segment (in tiles) whose positions fit the encoding
+    bits = 1
+    while (255 * B_pad + 1) << (bits + 1) <= 2**31 - 1:
+        bits += 1
+    seg_tiles = min(T, max(1, (1 << bits) // LANE_TILE))
+    C = -(-T // seg_tiles)
+    toff = np.arange(C, dtype=np.int64) * seg_tiles
+    counts = np.clip(true_n - toff * LANE_TILE, 0,
+                     seg_tiles * LANE_TILE).astype(np.int32)
+    maps = csr_scan_map(toff, counts, T)
+    W = max(1, min(seg_tiles, -(-8 * rescore // LANE_TILE)))
+    tsel = permute_tables_csr(
+        jnp.reshape(tables, (Q, 16 * B)), B)
+    q_pad = round_up(max(Q, 8), 8)
+    if q_pad != Q:
+        tsel = jnp.pad(tsel, ((0, q_pad - Q), (0, 0)))
+    tsel_b = jnp.broadcast_to(tsel[None], (C,) + tsel.shape)
+    enc = scan_fold_csr(
+        tsel_b, codes_tiled, *[jnp.asarray(m) for m in maps],
+        jnp.asarray(counts), fold_tiles=W, max_tiles=seg_tiles,
+        interpret=interpret)                     # (C, q_pad, S)
+    S = enc.shape[2]
+    pool = jnp.moveaxis(enc, 0, 1).reshape(q_pad, C * S)[:Q]
+    if C * S < rescore:                          # tiny corpus
+        pool = jnp.pad(pool, ((0, 0), (0, rescore - C * S)),
+                       constant_values=2**31 - 1)
+    _, idx = jax.lax.approx_max_k(-pool.astype(jnp.float32), rescore)
+    enc_sel = jnp.take_along_axis(pool, idx, axis=1)
+    col_bits = max(1, (seg_tiles * LANE_TILE - 1).bit_length())
+    pos = enc_sel & jnp.int32((1 << col_bits) - 1)
+    rows = (idx // S) * (seg_tiles * LANE_TILE) + pos
+    valid = enc_sel < jnp.int32(2**31 - 1)
+    return jnp.where(valid, rows, 0), valid
+
+
 @jax.jit
 def tile_codes(codes_packed):
     """uint8[n, Bs] packed codes -> the (T, Bs_pad, 128) tile layout
