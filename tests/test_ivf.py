@@ -240,3 +240,19 @@ def test_heavily_skewed_batch_recall():
     # uniform-batch recall on this config is ~the same; the bug dropped
     # this to ~0.06
     assert recall > 0.5, recall
+
+
+def test_query_stream_matches_query():
+    """query_stream (R batches per dispatch) must agree with per-batch
+    query when no bucket-capacity escalation triggers."""
+    np.random.seed(21)
+    X = np.random.randn(600, 16).astype(np.float32)
+    qs = np.random.randn(3, 40, 16).astype(np.float32)
+    ivf = IVF("euclidean", 12, FastPQ(2, rotate_dim=None),
+              queries_per_cluster=64)
+    ivf.fit(X).build(X, n_probes=2)
+    stream = np.asarray(ivf.query_stream(qs, k=8, n_probes=4))
+    assert stream.shape == (3, 40, 8)
+    for i in range(3):
+        single = np.asarray(ivf.query(qs[i], k=8, n_probes=4))
+        np.testing.assert_array_equal(stream[i], single)

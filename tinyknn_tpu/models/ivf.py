@@ -206,22 +206,13 @@ class IVF:
         if single:
             q = q[None]
         n_active = self.active_centers.shape[0]
-        n_probes = min(n_probes, n_active)
-        k = min(k, int(self.data.shape[0]))
         cap = self.max_tiles * LANE_TILE
-        if pass_1 is None:
-            pass_1 = (n_probes + 1) * k + 1
-        # Deep candidate budget for each query's nearest cluster (it
+        # Deep candidate budget (r) for each query's nearest cluster (it
         # holds most true neighbors and estimate noise makes depth
-        # matter); shallow budget for the remaining probes — a distant
-        # cluster can contribute at most a few winners.
-        r = min(pass_1, cap)
-        r_tail = min(pass_1, cap, max(3 * k, 16))
-        pass_1 = min(pass_1, r + (n_probes - 1) * r_tail)
-        qc = self.queries_per_cluster or max(
-            8, round_up(5 * q.shape[0] * n_probes // (2 * max(n_active, 1))
-                        + 1, 8))
-        qc0 = self.queries_per_cluster or default_qc0(q.shape[0], n_active)
+        # matter); shallow budget (r_tail) for the remaining probes — a
+        # distant cluster can contribute at most a few winners.
+        k, n_probes, pass_1, r, r_tail, qc, qc0 = _query_params(
+            self, q.shape[0], k, n_probes, pass_1)
         if mode == "auto":
             mode = "gather" if q.shape[0] * n_probes <= 64 else "bucket"
         method = _resolve_method(self.pass1_method)
@@ -312,6 +303,80 @@ def _fused_ok(qc: int, pq, cap: int) -> bool:
         return False
     vmem = qc * (16 * B + 8 * LANE_TILE) + 64 * B * LANE_TILE
     return vmem < 64 * 2**20
+
+
+def _query_params(self, Q, k, n_probes, pass_1):
+    """Shared query-shape parameter derivation (see IVF.query)."""
+    n_active = self.active_centers.shape[0]
+    n_probes = min(n_probes, n_active)
+    k = min(k, int(self.data.shape[0]))
+    cap = self.max_tiles * LANE_TILE
+    if pass_1 is None:
+        pass_1 = (n_probes + 1) * k + 1
+    r = min(pass_1, cap)
+    r_tail = min(pass_1, cap, max(3 * k, 16))
+    pass_1 = min(pass_1, r + (n_probes - 1) * r_tail)
+    qc = self.queries_per_cluster or max(
+        8, round_up(5 * Q * n_probes // (2 * max(n_active, 1)) + 1, 8))
+    qc0 = self.queries_per_cluster or default_qc0(Q, n_active)
+    return k, n_probes, pass_1, r, r_tail, qc, qc0
+
+
+class _StreamMixin:
+    """query_stream: many batches per device dispatch (the serving
+    shape — on remote/tethered TPUs each dispatched call costs ~30 ms
+    of round-trip latency; a stream pays it once)."""
+
+    def query_stream(self, batches, k, n_probes=1, pass_1=None):
+        """Top-k ids for a (R, Q, d) stream of query batches.
+
+        Runs all R batches inside ONE jitted computation (lax.map), so
+        per-call dispatch/readback latency is amortized across the
+        stream; returns (R, Q, k) int32. Unlike ``query`` there is no
+        drop-retry escalation — audit with query(..., with_stats=True)
+        or pin queries_per_cluster when batches may be heavily skewed.
+        """
+        assert self.csr_codes is not None, (
+            "IVF index is empty: call fit(X) and build(X) before query")
+        batches = jnp.asarray(batches, jnp.float32)
+        R, Q, d = batches.shape
+        k, n_probes, pass_1, r, r_tail, qc, qc0 = _query_params(
+            self, Q, k, n_probes, pass_1)
+        method = _resolve_method(self.pass1_method)
+        scan_impl = self.scan_impl
+        if scan_impl == "auto":
+            cap = self.max_tiles * LANE_TILE
+            scan_impl = ("fused" if jax.default_backend() == "tpu"
+                         and _fused_ok(max(qc, qc0), self.pq, cap)
+                         else "xla")
+        return _ivf_query_stream(
+            batches, self.pq.center_blocks, self.pq.R,
+            self.active_centers, self.csr_codes, self.csr_ids,
+            self.tile_offsets, self.list_counts, self.scan_map,
+            self.data, dpb=self.pq.dims_per_block, metric=self.metric,
+            k=k, n_probes=n_probes, pass_1=pass_1, r=r, r_tail=r_tail,
+            qc=qc, qc0=qc0, method=method, scan_impl=scan_impl,
+            max_tiles=self.max_tiles,
+            build_probes=getattr(self, "build_probes", 2))
+
+
+IVF.query_stream = _StreamMixin.query_stream
+
+
+@partial(jax.jit, static_argnames=("dpb", "metric", "k", "n_probes",
+                                   "pass_1", "r", "r_tail", "qc", "qc0",
+                                   "method", "scan_impl", "max_tiles",
+                                   "build_probes"))
+def _ivf_query_stream(batches, center_blocks, R, active_centers,
+                      csr_codes, csr_ids, tile_offsets, list_counts,
+                      scan_map, data, **kw):
+    def body(q):
+        out, _ = _ivf_query.__wrapped__(
+            q, center_blocks, R, active_centers, csr_codes, csr_ids,
+            tile_offsets, list_counts, scan_map, data, **kw)
+        return out
+
+    return jax.lax.map(body, batches)
 
 
 def _bucket_scan_round(probe_sub, tables_flat, csr_codes, csr_ids,
