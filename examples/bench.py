@@ -36,6 +36,12 @@ parser.add_argument("--a", type=float, default=1.0,
 parser.add_argument("--max-build-probes", type=int, default=10)
 parser.add_argument("--recall-target", type=float, default=0.9)
 parser.add_argument("--no-cache", action="store_true")
+parser.add_argument("--pass1-mult", type=float, default=4.0,
+                    help="pass-1 rescore pool = mult * ((P+1)k+1). The "
+                         "reference default is 1 (its heap cost scales "
+                         "with the pool); on TPU a wider exact rescore "
+                         "is nearly free and buys large recall at "
+                         "fixed n_probes")
 parser.add_argument("--sustained-reps", type=int, default=4,
                     help="Batches per dispatch for the sustained QPS "
                          "figure (0 disables; per-call round-trip QPS "
@@ -136,16 +142,17 @@ for build_probes in range(1, args.max_build_probes):
     n_probes = 1
     qpss, recalls = [], []
     while recall < args.recall_target and n_probes <= ivf.n_clusters:
+        p1 = int(args.pass1_mult * ((n_probes + 1) * k_neighbours + 1))
         # warm / compile for this shape
         guesses = np.asarray(ivf.query(queries, k=k_neighbours,
-                                       n_probes=n_probes))
+                                       n_probes=n_probes, pass_1=p1))
         # best-of-2 timing: remote-relay scheduling jitter otherwise
         # dominates individual measurements
         elapsed = float("inf")
         for _ in range(2):
             start = time.time()
             guesses = np.asarray(ivf.query(queries, k=k_neighbours,
-                                           n_probes=n_probes))
+                                           n_probes=n_probes, pass_1=p1))
             elapsed = min(elapsed, time.time() - start)
         qps = num_queries / elapsed
         found = sum(len(true_sets[i] & set(g.tolist()))
@@ -161,12 +168,13 @@ for build_probes in range(1, args.max_build_probes):
                       * 1e-6)
             qb = queries[None] + jitter
             out = np.asarray(ivf.query_stream(
-                qb, k=k_neighbours, n_probes=n_probes))  # warm/compile
+                qb, k=k_neighbours, n_probes=n_probes,
+                pass_1=p1))  # warm/compile
             el_s = float("inf")
             for _ in range(2):
                 start = time.time()
                 out = np.asarray(ivf.query_stream(
-                    qb, k=k_neighbours, n_probes=n_probes))
+                    qb, k=k_neighbours, n_probes=n_probes, pass_1=p1))
                 el_s = min(el_s, time.time() - start)
             qps_s = R * num_queries / el_s
             sustained = f"  sustained={qps_s:,.0f}"

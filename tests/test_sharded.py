@@ -183,3 +183,19 @@ def test_sharded_save_load_roundtrip(mesh, tmp_path):
     overlap = np.mean([len(set(x.tolist()) & set(y.tolist())) / 5
                        for x, y in zip(a, c)])
     assert overlap > 0.9, overlap
+
+
+def test_sharded_query_stream_matches_query(mesh):
+    """Sharded stream (R batches per dispatch) vs per-batch query —
+    angular metric also covers the table-normalization path."""
+    rng = np.random.default_rng(3)
+    X = rng.standard_normal((512, 16)).astype(np.float32)
+    qs = rng.standard_normal((2, 48, 16)).astype(np.float32) * 3.0
+    sivf = ShardedIVF("angular", 14, FastPQ(2, rotate_dim=None),
+                      mesh=mesh, queries_per_cluster=64)
+    sivf.fit(X).build(X, n_probes=2)
+    stream = np.asarray(sivf.query_stream(qs, k=6, n_probes=4))
+    assert stream.shape == (2, 48, 6)
+    for i in range(2):
+        single = np.asarray(sivf.query(qs[i], k=6, n_probes=4))
+        np.testing.assert_array_equal(stream[i], single)

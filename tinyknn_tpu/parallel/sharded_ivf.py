@@ -178,6 +178,13 @@ class ShardedIVF(IVF):
                          and _fused_ok(max(qc, qc0), self.pq, cap)
                          else "xla")
 
+        if self.metric == "angular":
+            # tables must come from the normalized query: PQ codes
+            # encode normalized data, and ||q - c||^2 rankings are not
+            # scale-invariant in q (the shard body re-normalizes for
+            # probe selection/rescore, which is idempotent)
+            q = q / np.maximum(
+                np.linalg.norm(q, axis=1, keepdims=True), 1e-12)
         dtable = self.pq._table(q, signed=True)
         qspec = P(self.query_axis) if self.query_axis else P()
         qj = jax.device_put(jnp.asarray(q),
@@ -220,6 +227,98 @@ class ShardedIVF(IVF):
                 "per_pair_candidates": (r, r_tail),
             }
         return out
+
+
+def _sharded_stream_method(self, batches, k, n_probes=1, pass_1=None):
+    """(R, Q, d) stream of batches in ONE dispatch over the mesh —
+    the multi-chip serving shape (see IVF.query_stream). Tables are
+    built per batch on each device's local query slice."""
+    batches = np.asarray(batches, dtype=np.float32)
+    _, Qb, _ = batches.shape
+    n_probes = min(n_probes, self._n_active_real)
+    k = min(k, int(self.data.shape[0]))
+    cap = self.max_tiles * 128
+    if pass_1 is None:
+        pass_1 = (n_probes + 1) * k + 1
+    r = min(pass_1, cap)
+    r_tail = min(pass_1, cap, max(3 * k, 16))
+    pass_1 = min(pass_1, r + (n_probes - 1) * r_tail)
+    c_dev = self.mesh.shape[self.axis]
+    q_dev = self.mesh.shape[self.query_axis] if self.query_axis else 1
+    C_pad = self.tile_offsets.shape[0]
+    assert Qb % q_dev == 0, "stream batch size must divide the query axis"
+    q_local = Qb // q_dev
+    qc = self.queries_per_cluster or max(
+        8, 8 * ((5 * q_local * n_probes * c_dev
+                 // (2 * max(C_pad, 1))) // 8 + 1))
+    qc0 = self.queries_per_cluster or default_qc0(
+        q_local, max(C_pad // c_dev, 1))
+    method = _resolve_method(self.pass1_method)
+    scan_impl = self.scan_impl
+    if scan_impl == "auto":
+        from ..models.ivf import _fused_ok
+        scan_impl = ("fused" if jax.default_backend() == "tpu"
+                     and _fused_ok(max(qc, qc0), self.pq, cap)
+                     else "xla")
+    if self.metric == "angular":
+        batches = batches / np.maximum(
+            np.linalg.norm(batches, axis=2, keepdims=True), 1e-12)
+    qspec = P(None, self.query_axis) if self.query_axis else P()
+    qb = jax.device_put(jnp.asarray(batches),
+                        NamedSharding(self.mesh, qspec))
+    return _sharded_query_stream(
+        qb, self.pq.center_blocks, self.pq.R, self.active_centers,
+        self.csr_codes, self.csr_ids, self.tile_offsets,
+        self.list_counts, self.scan_map, self.list_vecs,
+        mesh=self.mesh, axis=self.axis, query_axis=self.query_axis,
+        metric=self.metric, k=k, n_probes=n_probes, pass_1=pass_1,
+        r=r, r_tail=r_tail, qc=qc, qc0=qc0, method=method,
+        scan_impl=scan_impl, max_tiles=self.max_tiles,
+        build_probes=getattr(self, "build_probes", 2),
+        dpb=self.pq.dims_per_block)
+
+
+ShardedIVF.query_stream = _sharded_stream_method
+
+
+@partial(jax.jit,
+         static_argnames=("mesh", "axis", "query_axis", "metric", "k",
+                          "n_probes", "pass_1", "r", "r_tail", "qc",
+                          "qc0", "method", "scan_impl", "max_tiles",
+                          "build_probes", "dpb"))
+def _sharded_query_stream(qb, center_blocks, Rm, centers, csr_codes,
+                          csr_ids, tile_offsets, list_counts, scan_map,
+                          list_vecs, *, mesh, axis, query_axis, metric,
+                          k, n_probes, pass_1, r, r_tail, qc, qc0,
+                          method, scan_impl, max_tiles, build_probes,
+                          dpb):
+    from ..models.fast_pq import _build_tables
+    spec_s = P(axis)
+    spec_q = P(None, query_axis) if query_axis else P()
+    psum_axes = (axis,) if query_axis is None else (axis, query_axis)
+    step = partial(_shard_local_query, axis=axis, psum_axes=psum_axes,
+                   metric=metric, k=k, n_probes=n_probes, pass_1=pass_1,
+                   r=r, r_tail=r_tail, qc=qc, qc0=qc0, method=method,
+                   scan_impl=scan_impl, max_tiles=max_tiles,
+                   build_probes=build_probes)
+
+    def stream(qb, centers, codes_l, ids_l, toff_l, counts_l, smap_l,
+               vecs_l):
+        def body(q):
+            tables = _build_tables(q, center_blocks, Rm, dpb,
+                                   True).tables
+            ids, _, _ = step(q, tables, centers, codes_l, ids_l,
+                             toff_l, counts_l, smap_l, vecs_l)
+            return ids
+        return jax.lax.map(body, qb)
+
+    return jax.shard_map(
+        stream, mesh=mesh,
+        in_specs=(spec_q, P(), spec_s, spec_s, spec_s, spec_s,
+                  (spec_s,) * 4, spec_s),
+        out_specs=spec_q, check_vma=False,
+    )(qb, centers, csr_codes, csr_ids, tile_offsets, list_counts,
+      scan_map, list_vecs)
 
 
 @partial(jax.jit,
