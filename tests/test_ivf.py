@@ -256,3 +256,24 @@ def test_query_stream_matches_query():
     for i in range(3):
         single = np.asarray(ivf.query(qs[i], k=8, n_probes=4))
         np.testing.assert_array_equal(stream[i], single)
+
+
+def test_ivf_bf16_tables_fused_and_xla():
+    """Unquantized bf16 tables through both IVF scan paths (the
+    beyond-reference quality mode: int32 fold encoding is replaced by
+    order-preserving bf16 value bits)."""
+    np.random.seed(23)
+    X = np.random.randn(800, 16).astype(np.float32)
+    qs = np.random.randn(30, 16).astype(np.float32)
+    tru = np.asarray(knn_brute(qs, X, k=5))
+    recalls = {}
+    for impl in ("fused", "xla"):
+        ivf = IVF("euclidean", 10,
+                  FastPQ(2, rotate_dim=None, table_dtype="bf16"),
+                  scan_impl=impl)
+        ivf.fit(X).build(X, n_probes=2)
+        ids = np.asarray(ivf.query(qs, k=5, n_probes=4))
+        recalls[impl] = np.mean(
+            [len(set(a) & set(b)) / 5 for a, b in zip(ids, tru)])
+    assert recalls["fused"] >= recalls["xla"] - 0.05, recalls
+    assert recalls["fused"] >= 0.5, recalls

@@ -232,7 +232,8 @@ class IVF:
                 self.tile_offsets, self.list_counts,
                 self.data, dpb=self.pq.dims_per_block, metric=self.metric,
                 k=k, n_probes=n_probes, pass_1=pass_1,
-                max_tiles=self.max_tiles)
+                max_tiles=self.max_tiles,
+                table_dtype=self.pq.table_dtype)
             dropped = jnp.int32(0)
         else:
             # Drop-aware escalation: a skewed query batch (everyone near
@@ -262,7 +263,8 @@ class IVF:
                     k=k, n_probes=n_probes, pass_1=pass_1, r=r,
                     r_tail=r_tail, qc=qc, qc0=qc0, method=method,
                     scan_impl=scan_impl, max_tiles=self.max_tiles,
-                    build_probes=getattr(self, "build_probes", 2))
+                    build_probes=getattr(self, "build_probes", 2),
+                    table_dtype=self.pq.table_dtype)
                 if _attempt + 1 == attempts or int(dropped) == 0:
                     break
                 if _attempt + 2 == attempts:  # last try: can't-drop caps
@@ -292,14 +294,16 @@ def _fold_tiles(r: int, max_tiles: int) -> int:
 
 
 def _fused_ok(qc: int, pq, cap: int) -> bool:
-    """Whether the fused CSR kernel can run this query shape: int8
-    tables only, the int32 value+position encoding must fit, and the
-    per-cluster VMEM working set must be comfortable."""
-    if pq.table_dtype != "int8":
-        return False
+    """Whether the fused CSR kernel can run this query shape: the
+    int32 value+position encoding must fit (int8 tables: value bits +
+    position bits; bf16/f32 tables: bf16 bits << 16 | 16-bit position)
+    and the per-cluster VMEM working set must be comfortable."""
     B = pq.center_blocks.shape[0]
-    col_bits = max(1, (cap - 1).bit_length())
-    if (255 * B + 1) << col_bits > 2**31 - 1:
+    if pq.table_dtype == "int8":
+        col_bits = max(1, (cap - 1).bit_length())
+        if (255 * B + 1) << col_bits > 2**31 - 1:
+            return False
+    elif cap > 1 << 16:
         return False
     vmem = qc * (16 * B + 8 * LANE_TILE) + 64 * B * LANE_TILE
     return vmem < 64 * 2**20
@@ -357,7 +361,8 @@ class _StreamMixin:
             k=k, n_probes=n_probes, pass_1=pass_1, r=r, r_tail=r_tail,
             qc=qc, qc0=qc0, method=method, scan_impl=scan_impl,
             max_tiles=self.max_tiles,
-            build_probes=getattr(self, "build_probes", 2))
+            build_probes=getattr(self, "build_probes", 2),
+            table_dtype=self.pq.table_dtype)
 
 
 IVF.query_stream = _StreamMixin.query_stream
@@ -366,7 +371,7 @@ IVF.query_stream = _StreamMixin.query_stream
 @partial(jax.jit, static_argnames=("dpb", "metric", "k", "n_probes",
                                    "pass_1", "r", "r_tail", "qc", "qc0",
                                    "method", "scan_impl", "max_tiles",
-                                   "build_probes"))
+                                   "build_probes", "table_dtype"))
 def _ivf_query_stream(batches, center_blocks, R, active_centers,
                       csr_codes, csr_ids, tile_offsets, list_counts,
                       scan_map, data, **kw):
@@ -460,9 +465,13 @@ def _bucket_scan_round(probe_sub, tables_flat, csr_codes, csr_ids,
                                     16, dtype=jnp.int8)
             onehot = onehot.reshape(CLUSTER_CHUNK, cap, M)
             t_sel = tables_flat[jnp.maximum(qgrid_k, 0)]
+            floating = jnp.issubdtype(tables_flat.dtype, jnp.floating)
             est = jax.lax.dot_general(
-                t_sel, onehot, (((2,), (2,)), ((0,), (0,))),
-                preferred_element_type=jnp.int32)     # (CH, qc, cap)
+                t_sel, onehot.astype(tables_flat.dtype) if floating
+                else onehot,
+                (((2,), (2,)), ((0,), (0,))),
+                preferred_element_type=(jnp.float32 if floating
+                                        else jnp.int32))  # (CH, qc, cap)
             est = est.astype(jnp.float32)
             est = jnp.where(in_list[:, None, :], est, jnp.inf)
             vals, idx = pass1_topk(-est, r, method)   # (CH, qc, r)
@@ -485,14 +494,21 @@ def _bucket_scan_round(probe_sub, tables_flat, csr_codes, csr_ids,
     dropped = jnp.sum((slot >= qc) & (sorted_c < C))
     if scan_impl == "fused":
         my_enc = enc_flat[pair_idx]                   # (Q, Ps, S)
-        col_bits = max(1, (max_tiles * LANE_TILE - 1).bit_length())
-        bias = 128 * (M // 16)
         valid = (my_enc < jnp.int32(2**31 - 1)) & valid_pair[:, :, None]
-        my_vals = jnp.where(
-            valid,
-            (jax.lax.shift_right_logical(my_enc, jnp.int32(col_bits))
-             - jnp.int32(bias)).astype(jnp.float32),
-            jnp.inf)
+        if tables_flat.dtype == jnp.int8:
+            col_bits = max(
+                1, (max_tiles * LANE_TILE - 1).bit_length())
+            bias = 128 * (M // 16)
+            vals = (jax.lax.shift_right_logical(
+                my_enc, jnp.int32(col_bits))
+                - jnp.int32(bias)).astype(jnp.float32)
+        else:                                         # bf16-bits encoding
+            col_bits = 16
+            bits = jax.lax.shift_right_logical(
+                my_enc, jnp.int32(16)).astype(jnp.uint16)
+            vals = jax.lax.bitcast_convert_type(
+                bits, jnp.bfloat16).astype(jnp.float32)
+        my_vals = jnp.where(valid, vals, jnp.inf)
         pos = my_enc & jnp.int32((1 << col_bits) - 1)
         rowbase = (tile_offsets.astype(jnp.int32) * LANE_TILE)[
             jnp.minimum(probe_sub, C - 1)]            # (Q, Ps)
@@ -518,14 +534,14 @@ def default_qc0(Q: int, C: int) -> int:
 @partial(jax.jit, static_argnames=("dpb", "metric", "k", "n_probes",
                                    "pass_1", "r", "r_tail", "qc", "qc0",
                                    "method", "scan_impl", "max_tiles",
-                                   "build_probes"))
+                                   "build_probes", "table_dtype"))
 def _ivf_query(q, center_blocks, R, active_centers, csr_codes, csr_ids,
                tile_offsets, list_counts, scan_map, data, *, dpb: int,
                metric: str,
                k: int, n_probes: int, pass_1: int, r: int, r_tail: int,
                qc: int, qc0: int, method: str = "exact",
                scan_impl: str = "xla", max_tiles: int = 1,
-               build_probes: int = 2):
+               build_probes: int = 2, table_dtype: str = "int8"):
     """The full batched IVF query step — one jitted computation.
 
     Stages (Q queries, C clusters, cap list capacity, P probes):
@@ -547,14 +563,20 @@ def _ivf_query(q, center_blocks, R, active_centers, csr_codes, csr_ids,
     if metric == "angular":
         q = q / jnp.maximum(jnp.linalg.norm(q, axis=1, keepdims=True), 1e-12)
     # distance tables fused into the query step (one dispatch end-to-end)
-    tables = _build_tables(q, center_blocks, R, dpb, True).tables
+    tables = _build_tables(q, center_blocks, R, dpb, True,
+                           table_dtype).tables
     B = tables.shape[1]
     tables_flat = tables.reshape(Q, B * 16)
     if scan_impl == "fused":
         from ..ops.kernels import permute_tables_csr
         tables_flat = permute_tables_csr(tables_flat, B)
+        if tables_flat.dtype == jnp.float32:
+            # the float fold encodes bf16 value bits; pre-round
+            tables_flat = tables_flat.astype(jnp.bfloat16)
 
-    # -- 1. probe selection (exact, on MXU)
+    # -- 1. probe selection (exact, on MXU; an approx_max_k variant
+    # was measured recall- and QPS-neutral — the front cost is the
+    # table build + bucketing, not this top-P)
     qn = jnp.einsum("qd,qd->q", q, q)
     cn = jnp.einsum("cd,cd->c", active_centers, active_centers)
     d2c = qn[:, None] + cn[None, :] - 2.0 * jax.lax.dot_general(
@@ -646,11 +668,12 @@ def tune_n_probes(ivf, queries, true_neighbours, k=10, target_recall=0.9,
 
 
 @partial(jax.jit, static_argnames=("dpb", "metric", "k", "n_probes",
-                                   "pass_1", "max_tiles"))
+                                   "pass_1", "max_tiles", "table_dtype"))
 def _ivf_query_gather(q, center_blocks, R, active_centers, csr_codes,
                       csr_ids, tile_offsets, list_counts, data, *,
                       dpb: int, metric: str, k: int, n_probes: int,
-                      pass_1: int, max_tiles: int):
+                      pass_1: int, max_tiles: int,
+                      table_dtype: str = "int8"):
     """Latency-mode query: gather each query's probed lists directly.
 
     For small batches the bucketed scan wastes work on the (C, qc) grid;
@@ -666,7 +689,8 @@ def _ivf_query_gather(q, center_blocks, R, active_centers, csr_codes,
     P = n_probes
     if metric == "angular":
         q = q / jnp.maximum(jnp.linalg.norm(q, axis=1, keepdims=True), 1e-12)
-    tables = _build_tables(q, center_blocks, R, dpb, True).tables
+    tables = _build_tables(q, center_blocks, R, dpb, True,
+                           table_dtype).tables
 
     qn = jnp.einsum("qd,qd->q", q, q)
     cn = jnp.einsum("cd,cd->c", active_centers, active_centers)
@@ -684,9 +708,13 @@ def _ivf_query_gather(q, center_blocks, R, active_centers, csr_codes,
     in_list = (jnp.arange(cap, dtype=jnp.int32)[None, None, :]
                < list_counts[probe_sel][:, :, None])
     ids_p = jnp.where(in_list, csr_ids[rows_p], -1)   # (Q, P, cap)
-    onehot = jax.nn.one_hot(codes_p, 16, dtype=jnp.int8)
-    est = jnp.einsum("qpcbv,qbv->qpc", onehot, tables,
-                     preferred_element_type=jnp.int32).astype(jnp.float32)
+    floating = jnp.issubdtype(tables.dtype, jnp.floating)
+    onehot = jax.nn.one_hot(
+        codes_p, 16, dtype=tables.dtype if floating else jnp.int8)
+    est = jnp.einsum(
+        "qpcbv,qbv->qpc", onehot, tables,
+        preferred_element_type=(jnp.float32 if floating else jnp.int32)
+    ).astype(jnp.float32)
     est = jnp.where(ids_p >= 0, est, jnp.inf)
     flat_vals = est.reshape(Q, P * cap)
     flat_ids = ids_p.reshape(Q, P * cap)

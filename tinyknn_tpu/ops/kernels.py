@@ -500,13 +500,19 @@ def _scan_select_csr_kernel(cl_ref, tile_ref, tpos_ref, last_ref,
 def _scan_fold_csr_kernel(cl_ref, tile_ref, tpos_ref, last_ref,
                           counts_ref, tsel_ref, codes_ref, enc_ref,
                           folded, *, W: int, tps: int, enc_bias: int,
-                          col_bits: int):
+                          col_bits: int, float_tables: bool = False):
     """Fold-emit variant: scan + encoded min-fold only, NO in-kernel
     top-r extraction — the (qc, S) fold buffer itself is the output.
     Downstream, every (query, probe) pair's candidate pool is its fold
     row, and one approx_max_k per query replaces what used to be r
     sequential min+invalidate passes per cluster (measured ~45% of the
-    whole GloVe-scale query)."""
+    whole GloVe-scale query).
+
+    ``float_tables``: tables are bf16/f32 (the beyond-reference
+    unquantized quality mode); the encoding becomes
+    ``bf16_bits(est) << 16 | position`` — IEEE bits of non-negative
+    floats are order-preserving, so the min-fold still works, with
+    bf16 rounding only affecting pass-1 ordering (rescore is exact)."""
     t = pl.program_id(0)
     tp = tpos_ref[t]
     count = counts_ref[cl_ref[t]]
@@ -520,15 +526,27 @@ def _scan_fold_csr_kernel(cl_ref, tile_ref, tpos_ref, last_ref,
     for i in range(tps):                          # static unroll
         codes = codes_ref[i].astype(jnp.int32)    # (Bs, 128)
         codes = _unpack_evens_odds_T(codes)       # (B, 128)
-        onehot = _onehot_tiled_T(codes)           # (16B, 128) int8
-        est = jax.lax.dot_general(
-            tsel_ref[0], onehot, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.int32)     # (qc, 128)
-        lane = jax.lax.broadcasted_iota(jnp.int32, est.shape, 1)
+        if float_tables:
+            onehot = jnp.concatenate(
+                [(codes == v).astype(jnp.bfloat16) for v in range(16)],
+                axis=0)                           # (16B, 128) bf16
+            est = jax.lax.dot_general(
+                tsel_ref[0], onehot, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)   # (qc, 128) f32
+            bits = pltpu.bitcast(est.astype(jnp.bfloat16),
+                                 jnp.int16).astype(jnp.int32)
+            val_part = jax.lax.shift_left(bits, jnp.int32(col_bits))
+        else:
+            onehot = _onehot_tiled_T(codes)       # (16B, 128) int8
+            est = jax.lax.dot_general(
+                tsel_ref[0], onehot, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32)     # (qc, 128)
+            val_part = jax.lax.shift_left(est + jnp.int32(enc_bias),
+                                          jnp.int32(col_bits))
+        lane = jax.lax.broadcasted_iota(jnp.int32, val_part.shape, 1)
         ti = tp * tps + i
         pos = ti * LANE_TILE + lane               # position within list
-        enc = jax.lax.shift_left(est + jnp.int32(enc_bias),
-                                 jnp.int32(col_bits)) | pos
+        enc = val_part | pos
         enc = jnp.where(pos < count, enc, _ENC_BIG)
         seg = pl.multiple_of(jax.lax.rem(ti, W) * LANE_TILE, LANE_TILE)
         folded[:, pl.ds(seg, LANE_TILE)] = jnp.minimum(
@@ -560,11 +578,19 @@ def scan_fold_csr(tables_sel, codes_tiled, scan_cl, scan_tile,
     B = M // 16
     assert B == 2 * codes_tiled.shape[1], "codes must be nibble-packed"
     assert codes_tiled.shape[2] == LANE_TILE
-    col_bits = max(1, (max_tiles * LANE_TILE - 1).bit_length())
-    enc_bias = 128 * B
-    assert (255 * B + 1) << col_bits <= 2**31 - 1, (
-        f"list too long for int32 encoding: max_tiles={max_tiles}, B={B};"
-        " use scan_impl='xla'")
+    float_tables = tables_sel.dtype != jnp.int8
+    if float_tables:
+        # bf16-bits << 16 | position encoding: positions need 16 bits
+        col_bits = 16
+        enc_bias = 0
+        assert max_tiles * LANE_TILE <= 1 << 16, (
+            "list too long for the float encoding; use scan_impl='xla'")
+    else:
+        col_bits = max(1, (max_tiles * LANE_TILE - 1).bit_length())
+        enc_bias = 128 * B
+        assert (255 * B + 1) << col_bits <= 2**31 - 1, (
+            f"list too long for int32 encoding: max_tiles={max_tiles}, "
+            f"B={B}; use scan_impl='xla'")
     W = fold_tiles
     tps = tiles_per_step
     assert codes_tiled.shape[0] % tps == 0
@@ -592,7 +618,8 @@ def scan_fold_csr(tables_sel, codes_tiled, scan_cl, scan_tile,
     )
     enc, = pl.pallas_call(
         partial(_scan_fold_csr_kernel, W=W, tps=tps,
-                enc_bias=enc_bias, col_bits=col_bits),
+                enc_bias=enc_bias, col_bits=col_bits,
+                float_tables=float_tables),
         grid_spec=grid_spec,
         out_shape=[jax.ShapeDtypeStruct((C, qc, S), jnp.int32)],
         compiler_params=pltpu.CompilerParams(

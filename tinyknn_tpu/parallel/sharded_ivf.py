@@ -275,7 +275,8 @@ def _sharded_stream_method(self, batches, k, n_probes=1, pass_1=None):
         r=r, r_tail=r_tail, qc=qc, qc0=qc0, method=method,
         scan_impl=scan_impl, max_tiles=self.max_tiles,
         build_probes=getattr(self, "build_probes", 2),
-        dpb=self.pq.dims_per_block)
+        dpb=self.pq.dims_per_block,
+        table_dtype=self.pq.table_dtype)
 
 
 ShardedIVF.query_stream = _sharded_stream_method
@@ -285,13 +286,13 @@ ShardedIVF.query_stream = _sharded_stream_method
          static_argnames=("mesh", "axis", "query_axis", "metric", "k",
                           "n_probes", "pass_1", "r", "r_tail", "qc",
                           "qc0", "method", "scan_impl", "max_tiles",
-                          "build_probes", "dpb"))
+                          "build_probes", "dpb", "table_dtype"))
 def _sharded_query_stream(qb, center_blocks, Rm, centers, csr_codes,
                           csr_ids, tile_offsets, list_counts, scan_map,
                           list_vecs, *, mesh, axis, query_axis, metric,
                           k, n_probes, pass_1, r, r_tail, qc, qc0,
                           method, scan_impl, max_tiles, build_probes,
-                          dpb):
+                          dpb, table_dtype="int8"):
     from ..models.fast_pq import _build_tables
     spec_s = P(axis)
     spec_q = P(None, query_axis) if query_axis else P()
@@ -306,7 +307,7 @@ def _sharded_query_stream(qb, center_blocks, Rm, centers, csr_codes,
                vecs_l):
         def body(q):
             tables = _build_tables(q, center_blocks, Rm, dpb,
-                                   True).tables
+                                   True, table_dtype).tables
             ids, _, _ = step(q, tables, centers, codes_l, ids_l,
                              toff_l, counts_l, smap_l, vecs_l)
             return ids
@@ -391,6 +392,8 @@ def _shard_local_query(q, tables, centers, codes_l, ids_l, toff_l,
     if scan_impl == "fused":
         from ..ops.kernels import permute_tables_csr
         tables_flat = permute_tables_csr(tables_flat, B)
+        if tables_flat.dtype == jnp.float32:
+            tables_flat = tables_flat.astype(jnp.bfloat16)
 
     v0, rows0, drop0 = _bucket_scan_round(
         probes_local[:, :1], tables_flat, codes_l, ids_l, toff_l,
