@@ -158,3 +158,48 @@ def test_scan_select_packed_matches_unpacked():
         counts, r, packed=True, interpret=True)
     np.testing.assert_array_equal(np.asarray(v1), np.asarray(v2))
     np.testing.assert_array_equal(np.asarray(p1), np.asarray(p2))
+
+
+def test_scan_fold_csr_float_tables_exact():
+    """Float-tables fold encoding: with integer-valued tables whose
+    per-list sums are exactly representable in bf16, the candidate set
+    must match the int8 path bit-for-bit."""
+    from tinyknn_tpu.ops.kernels import (
+        pack_codes_tiled, permute_tables_csr, scan_fold_csr)
+    from tinyknn_tpu.ops.packing import pack_codes
+    from tinyknn_tpu.utils.grouping import (
+        csr_scan_map, invert_assignments_csr_tiled)
+    rng = np.random.default_rng(9)
+    n, B, C, qc = 300, 8, 3, 8
+    assign = rng.integers(0, C, size=(n, 1))
+    codes = rng.integers(0, 16, size=(n, B), dtype=np.uint8)
+    # small non-negative integer tables: sums <= 8 * 31 = 248 < 256,
+    # exactly representable in bf16 (8-bit mantissa)
+    tables = rng.integers(0, 32, size=(C, qc, B * 16)).astype(np.int8)
+    flat_ids, toff, counts = invert_assignments_csr_tiled(assign, C)
+    codes_tiled = np.asarray(
+        pack_codes_tiled(np.asarray(pack_codes(codes)), flat_ids))
+    smap = csr_scan_map(toff, counts, codes_tiled.shape[0])
+    max_tiles = max(1, int(-(-counts.max() // 128)))
+
+    t_i8 = np.asarray(permute_tables_csr(tables, B))
+    t_bf = np.asarray(permute_tables_csr(
+        tables.astype(np.float32), B)).astype(np.float32)
+    import jax.numpy as jnp
+    enc_i8 = np.asarray(scan_fold_csr(
+        t_i8, codes_tiled, *smap, counts, fold_tiles=2,
+        max_tiles=max_tiles, interpret=True))
+    enc_bf = np.asarray(scan_fold_csr(
+        jnp.asarray(t_bf, jnp.bfloat16), codes_tiled, *smap, counts,
+        fold_tiles=2, max_tiles=max_tiles, interpret=True))
+    # decode both encodings to (value, position) and compare
+    bits_i8 = max(1, (max_tiles * 128 - 1).bit_length())
+    vi = np.where(enc_i8 < 2**31 - 1,
+                  (enc_i8 >> bits_i8) - 128 * (t_i8.shape[2] // 16), -1)
+    pi = np.where(enc_i8 < 2**31 - 1, enc_i8 & ((1 << bits_i8) - 1), -1)
+    vb_bits = (enc_bf >> 16).astype(np.uint16)
+    vb_f = (vb_bits.astype(np.uint32) << 16).view(np.float32)
+    vb = np.where(enc_bf < 2**31 - 1, vb_f.astype(np.int64), -1)
+    pb = np.where(enc_bf < 2**31 - 1, enc_bf & 0xFFFF, -1)
+    np.testing.assert_array_equal(pi, pb)
+    np.testing.assert_array_equal(vi, vb)

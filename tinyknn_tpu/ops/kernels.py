@@ -81,6 +81,10 @@ def estimate_scan_pallas(codes, tables, packed: bool = False):
     """
     from .packing import pack_codes
     n = codes.shape[0]
+    if not packed and codes.shape[-1] % 2:
+        # odd block count can't nibble-pack; XLA path handles it
+        from .scan import estimate_scan_xla
+        return estimate_scan_xla(codes, tables)
     if not packed:
         codes = pack_codes(codes)
     tiled = tile_codes(codes)
