@@ -188,8 +188,10 @@ def test_tune_n_probes():
     trus = np.asarray(knn_brute(qs, X, k=k))
     ivf = IVF("euclidean", 38, FastPQ(2))
     ivf.fit(X).build(X, n_probes=4)
-    p, recall, curve = tune_n_probes(ivf, qs, trus, k=k, target_recall=0.8)
+    p, p1, recall, curve = tune_n_probes(ivf, qs, trus, k=k,
+                                         target_recall=0.8)
     assert recall >= 0.8
+    assert p1 >= (p + 1) * k + 1
     # minimality: the previous sweep point must be below target
     keys = sorted(curve)
     if keys.index(p) > 0:

@@ -640,31 +640,40 @@ def _ivf_query(q, center_blocks, R, active_centers, csr_codes, csr_ids,
 
 
 def tune_n_probes(ivf, queries, true_neighbours, k=10, target_recall=0.9,
-                  max_probes=None, verbose=False):
+                  max_probes=None, pass1_mult=4.0, verbose=False):
     """Smallest n_probes reaching ``target_recall`` on a validation set.
 
     The reference leaves this sweep to its benchmark script
     (reference: examples/bench.py:116-139); serving deployments need it
-    as an API. Returns (n_probes, achieved_recall, measured_recalls).
+    as an API. ``pass1_mult`` widens the pass-1 rescore pool beyond the
+    reference's (P+1)k+1 sizing — on TPU the pool is one exact-rescore
+    gather, nearly free, and x4 was measured to dominate the
+    recall/QPS frontier (docs/PERFORMANCE.md). Returns
+    ``(n_probes, pass_1, achieved_recall, measured_recalls)``.
     """
     import numpy as np
     queries = np.asarray(queries, dtype=np.float32)
     trus = [set(np.asarray(t).tolist()) for t in true_neighbours]
     max_probes = max_probes or ivf.active_centers.shape[0]
     n_probes, recalls = 1, {}
+    p1 = None
     while n_probes <= max_probes:
-        guesses = np.asarray(ivf.query(queries, k=k, n_probes=n_probes))
+        p1 = int(pass1_mult * ((n_probes + 1) * k + 1))
+        guesses = np.asarray(ivf.query(queries, k=k, n_probes=n_probes,
+                                       pass_1=p1))
         recall = float(np.mean(
             [len(trus[i] & set(g.tolist())) / max(len(trus[i]), 1)
              for i, g in enumerate(guesses)]))
         recalls[n_probes] = recall
         if verbose:
-            print(f"tune: n_probes={n_probes} recall={recall:.4f}")
+            print(f"tune: n_probes={n_probes} pass_1={p1} "
+                  f"recall={recall:.4f}")
         if recall >= target_recall:
-            return n_probes, recall, recalls
+            return n_probes, p1, recall, recalls
         n_probes += max(int(n_probes ** 0.5), 1)
     best = max(recalls, key=recalls.get)
-    return best, recalls[best], recalls
+    return (best, int(pass1_mult * ((best + 1) * k + 1)),
+            recalls[best], recalls)
 
 
 @partial(jax.jit, static_argnames=("dpb", "metric", "k", "n_probes",
