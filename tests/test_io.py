@@ -80,6 +80,26 @@ def test_ivf_v2_archive_converts_to_csr(tmp_path):
     ivf2 = load_ivf(path)
     got = np.asarray(ivf2.query(qs, k=5, n_probes=3))
     np.testing.assert_array_equal(want, got)
+    # pre-v3 meta carries no build_probes: load must derive the exact
+    # spill bound from the lists (max multiplicity of any id), not
+    # guess a default that could under-size the dedup-aware selection
+    assert ivf2.build_probes == 2
+
+
+def test_ivf_labels_roundtrip(tmp_path):
+    X = np.random.randn(250, 12).astype(np.float32)
+    qs = np.random.randn(6, 12).astype(np.float32)
+    labels = (10**12 + 7) * np.arange(250, dtype=np.int64)
+    ivf = IVF("euclidean", 10, FastPQ(2))
+    ivf.fit(X).build(X, n_probes=2, labels=labels)
+    path = tmp_path / "ivf_labels.npz"
+    save_ivf(path, ivf)
+    ivf2 = load_ivf(path)
+    a = np.asarray(ivf.query(qs, k=5, n_probes=3))
+    b = np.asarray(ivf2.query(qs, k=5, n_probes=3))
+    assert a.dtype == np.int64 and b.dtype == np.int64
+    np.testing.assert_array_equal(a, b)
+    assert np.all((a >= 10**12) | (a == -1))
 
 
 def test_ivf_roundtrip_preserves_tuning(tmp_path):

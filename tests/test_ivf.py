@@ -188,14 +188,25 @@ def test_tune_n_probes():
     trus = np.asarray(knn_brute(qs, X, k=k))
     ivf = IVF("euclidean", 38, FastPQ(2))
     ivf.fit(X).build(X, n_probes=4)
+    # NamedTuple result still unpacks as a plain 4-tuple
     p, p1, recall, curve = tune_n_probes(ivf, qs, trus, k=k,
                                          target_recall=0.8)
     assert recall >= 0.8
-    assert p1 >= (p + 1) * k + 1
-    # minimality: the previous sweep point must be below target
-    keys = sorted(curve)
-    if keys.index(p) > 0:
-        assert curve[keys[keys.index(p) - 1]] < 0.8
+    assert p1 >= 2 * ((p + 1) * k + 1)  # smallest searched mult is x2
+    assert curve[(p, p1)] == recall
+    # minimality over n_probes: at the previously-probed n_probes even
+    # the widest pass-1 pool stayed below target
+    probed = sorted({np_ for np_, _ in curve})
+    i = probed.index(p)
+    if i > 0:
+        best_prev = max(r for (np_, _), r in curve.items()
+                        if np_ == probed[i - 1])
+        assert best_prev < 0.8
+    # minimality over pass_1: a cheaper searched pool at the same
+    # n_probes (if any was measured) stayed below target
+    for (np_, p1_other), r in curve.items():
+        if np_ == p and p1_other < p1:
+            assert r < 0.8
 
 
 def test_skewed_query_batch():
@@ -279,3 +290,52 @@ def test_ivf_bf16_tables_fused_and_xla():
             [len(set(a) & set(b)) / 5 for a, b in zip(ids, tru)])
     assert recalls["fused"] >= recalls["xla"] - 0.05, recalls
     assert recalls["fused"] >= 0.5, recalls
+
+
+def test_int64_labels_survive_pipeline():
+    """64-bit user labels >= 10^12 survive the whole pack -> scan ->
+    dedup -> rescore pipeline, in every query mode (the reference
+    threads int64 labels through its kernel heap and pins this with
+    reference tests/test_pq.py:143-158; here points ride as int32
+    positions and winners map through the label table)."""
+    np.random.seed(29)
+    n, d, k = 900, 12, 7
+    X = np.random.randn(n, d).astype(np.float32)
+    qs = np.random.randn(25, d).astype(np.float32)
+    labels = 10**12 + 3 * np.arange(n, dtype=np.int64)
+
+    plain = IVF("euclidean", 24, FastPQ(2))
+    plain.fit(X).build(X, n_probes=2)
+    tagged = IVF("euclidean", 24, FastPQ(2))
+    tagged.fit(X).build(X, n_probes=2, labels=labels)
+
+    for mode in ("bucket", "gather"):
+        pos = np.asarray(plain.query(qs, k=k, n_probes=3, mode=mode))
+        got = tagged.query(qs, k=k, n_probes=3, mode=mode)
+        assert got.dtype == np.int64
+        want = np.where(pos >= 0, labels[np.maximum(pos, 0)],
+                        np.int64(-1))
+        np.testing.assert_array_equal(got, want)
+    # streaming path too
+    pos = np.asarray(plain.query(qs, k=k, n_probes=3, mode="bucket"))
+    stream = tagged.query_stream(qs[None], k=k, n_probes=3)
+    assert stream.dtype == np.int64
+    np.testing.assert_array_equal(
+        stream[0], np.where(pos >= 0, labels[np.maximum(pos, 0)], -1))
+
+
+def test_corpus_row_cap_asserted():
+    """The int32 positional-id cap (2^31 rows) is asserted at build
+    time rather than silently overflowing."""
+    ivf = IVF("euclidean", 4, FastPQ(2))
+    X = np.random.randn(64, 8).astype(np.float32)
+    ivf.fit(X)
+
+    class _Huge:
+        shape = (2**31, 8)
+
+    try:
+        ivf.build(_Huge(), n_probes=1)
+        assert False, "expected the 2^31-row cap assert"
+    except AssertionError as e:
+        assert "2^31" in str(e)

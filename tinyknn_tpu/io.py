@@ -149,6 +149,8 @@ def save_ivf(path, ivf: IVF, compress: bool = False):
         tile_offsets=tile_offsets,
         list_counts=list_counts,
         data=np.asarray(ivf.data),
+        **({"labels": np.asarray(ivf.labels)}
+           if getattr(ivf, "labels", None) is not None else {}),
         **state)
 
 
@@ -188,8 +190,10 @@ def load_ivf(path) -> IVF:
         ivf.queries_per_cluster = meta.get("queries_per_cluster")
         ivf.pass1_method = meta.get("pass1_method", "auto")
         ivf.scan_impl = meta.get("scan_impl", "auto")
-        ivf.build_probes = meta.get("build_probes", 2)
+        ivf.build_probes = meta.get("build_probes")
         ivf.pq = pq
+        ivf.labels = (np.asarray(data["labels"])
+                      if "labels" in data else None)
         ivf.all_centers = np.asarray(data["all_centers"])
         ivf.active_centers = jnp.asarray(data["active_centers"])
         if int(data["format"]) >= 3:
@@ -210,6 +214,15 @@ def load_ivf(path) -> IVF:
             csr_codes, csr_ids, tile_offsets, list_counts = (
                 _dense_grid_to_csr(codes, list_ids, counts))
         ivf.csr_codes = jnp.asarray(csr_codes)
+        if ivf.build_probes is None:
+            # pre-v3 archives carry no build_probes; an under-estimate
+            # would under-size the duplicate-aware f*pass_1 selection
+            # (models/ivf.py stage 4). The exact bound is the max
+            # spill multiplicity of any id across the lists — one
+            # bincount at load time.
+            pos = csr_ids[csr_ids >= 0]
+            ivf.build_probes = (int(np.bincount(pos).max())
+                                if pos.size else 1)
         ivf.csr_ids = jnp.asarray(csr_ids)
         ivf.tile_offsets = jnp.asarray(tile_offsets)
         ivf.list_counts = jnp.asarray(list_counts)

@@ -34,6 +34,7 @@ TPU-first re-design (none of this is a translation):
 from __future__ import annotations
 
 from functools import partial
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -102,6 +103,7 @@ class IVF:
         self.tile_offsets = None  # (C,) int32, list i starts at tile [i]
         self.max_tiles = None    # host int: longest list in tiles
         self.data = None         # (n, d) f32 (normalized when angular)
+        self.labels = None       # optional (n,) int64 user labels
 
     # --------------------------------------------------------------- fit
 
@@ -128,18 +130,39 @@ class IVF:
 
     # ------------------------------------------------------------- build
 
-    def build(self, X, n_probes=2, verbose=False):
+    def build(self, X, n_probes=2, labels=None, verbose=False):
         """Assign points to their n_probes nearest lists and encode them.
 
         Reference: tinyknn/ivf.py:53-104. The padded-grid layout means
         "transform each group" becomes: encode all rows once, then
         gather into the grid.
+
+        ``labels``: optional (n,) int64 user labels. Internally points
+        ride as int32 *positional* row ids (the corpus is capped at
+        2^31 rows — asserted below); queries then map winners through
+        this table host-side, so arbitrary 64-bit labels survive the
+        whole pack -> scan -> dedup -> rescore pipeline (the reference
+        threads int64 labels through its kernel heap instead:
+        tinyknn/_fast_pq.pyx:117, tests/test_pq.py:143-158). Label-
+        mapped query results come back as NumPy int64 arrays. Note:
+        duplicate labels are treated as distinct points (positional
+        dedup happens before mapping).
         """
         assert self.all_centers is not None, (
             "IVF has not been fitted: call fit(X) before build(X)")
         assert n_probes <= self.n_clusters, (
             f"Can't assign points to {n_probes} clusters, as index only "
             f"has {self.n_clusters}")
+        assert X.shape[0] < 2**31, (
+            "corpus capped at 2^31 rows (int32 positional ids); shard "
+            "the index (parallel.ShardedIVF) or split it")
+        if labels is not None:
+            labels = np.asarray(labels, dtype=np.int64).reshape(-1)
+            assert labels.shape[0] == X.shape[0], (
+                "labels must have one entry per data row")
+            self.labels = labels
+        else:
+            self.labels = None
         # One upload; everything else stays on device (device->host
         # readback is the expensive direction on remote TPU setups).
         data = jnp.asarray(X, jnp.float32)
@@ -222,7 +245,8 @@ class IVF:
         scan_impl = self.scan_impl
         if scan_impl == "auto":
             scan_impl = ("fused" if jax.default_backend() == "tpu"
-                         and _fused_ok(max(qc, qc0), self.pq, cap)
+                         and _fused_ok(self.pq, cap, self.max_tiles,
+                                       ((qc0, r), (qc, r_tail)))
                          else "xla")
 
         if mode == "gather":
@@ -273,6 +297,7 @@ class IVF:
                     qc = min(round_up(4 * qc, 8), qc_full)
                     qc0 = min(round_up(4 * qc0, 8), qc0_full)
         out = out[0] if single else out
+        out = _map_labels(self.labels, out)
         if with_stats:
             return out, {
                 "mode": mode,
@@ -286,6 +311,18 @@ class IVF:
         return out
 
 
+def _map_labels(labels, out):
+    """Map positional ids -> user labels (host-side; -1 stays -1).
+
+    int64 labels cannot ride device arrays without jax_enable_x64, so
+    the (Q, k) winner block is mapped on the host — the same readback
+    the caller does anyway to consume results."""
+    if labels is None:
+        return out
+    out = np.asarray(out)
+    return np.where(out >= 0, labels[np.maximum(out, 0)], np.int64(-1))
+
+
 def _fold_tiles(r: int, max_tiles: int) -> int:
     """Fold width (in 128-lane tiles) for the CSR kernel: ~8x headroom
     over r keeps position-class collisions (the fold's approximation)
@@ -293,20 +330,36 @@ def _fold_tiles(r: int, max_tiles: int) -> int:
     return max(1, min(max_tiles, -(-8 * r // LANE_TILE)))
 
 
-def _fused_ok(qc: int, pq, cap: int) -> bool:
+def _fused_ok(pq, cap: int, max_tiles: int, rounds) -> bool:
     """Whether the fused CSR kernel can run this query shape: the
     int32 value+position encoding must fit (int8 tables: value bits +
     position bits; bf16/f32 tables: bf16 bits << 16 | 16-bit position)
-    and the per-cluster VMEM working set must be comfortable."""
+    and the per-cluster VMEM working set must be comfortable.
+
+    ``rounds``: iterable of (qc, r) pairs, one per scan round — the
+    fold buffer (kernel output block + persistent scratch, both
+    (qc, S) int32 with S = _fold_tiles(r) * 128) scales with BOTH, so
+    each round is checked with its own shape. The encoding headroom
+    uses the storage-padded block count B_pad (pack_codes_tiled pads
+    the packed width to 8 sublanes, up to +15 logical blocks), which
+    is what scan_fold_csr itself asserts against.
+    """
     B = pq.center_blocks.shape[0]
+    B_pad = 2 * round_up(max(B // 2, 1), 8)
     if pq.table_dtype == "int8":
         col_bits = max(1, (cap - 1).bit_length())
-        if (255 * B + 1) << col_bits > 2**31 - 1:
+        if (255 * B_pad + 1) << col_bits > 2**31 - 1:
             return False
     elif cap > 1 << 16:
         return False
-    vmem = qc * (16 * B + 8 * LANE_TILE) + 64 * B * LANE_TILE
-    return vmem < 64 * 2**20
+    for qc, r in rounds:
+        S = _fold_tiles(r, max_tiles) * LANE_TILE
+        vmem = (qc * 16 * B_pad          # tables block (int8)
+                + 2 * 4 * qc * S         # fold: out block + scratch (int32)
+                + 64 * B_pad * LANE_TILE)  # codes tile + one-hot slack
+        if vmem >= 64 * 2**20:
+            return False
+    return True
 
 
 def _query_params(self, Q, k, n_probes, pass_1):
@@ -331,14 +384,18 @@ class _StreamMixin:
     shape — on remote/tethered TPUs each dispatched call costs ~30 ms
     of round-trip latency; a stream pays it once)."""
 
-    def query_stream(self, batches, k, n_probes=1, pass_1=None):
+    def query_stream(self, batches, k, n_probes=1, pass_1=None,
+                     with_stats=False):
         """Top-k ids for a (R, Q, d) stream of query batches.
 
         Runs all R batches inside ONE jitted computation (lax.map), so
         per-call dispatch/readback latency is amortized across the
         stream; returns (R, Q, k) int32. Unlike ``query`` there is no
-        drop-retry escalation — audit with query(..., with_stats=True)
-        or pin queries_per_cluster when batches may be heavily skewed.
+        drop-retry escalation (a retry would have to re-run the whole
+        stream) — ``with_stats=True`` additionally returns a stats dict
+        with the total (query, probe) pairs dropped by bucket-capacity
+        overflow across the stream, so skewed serving streams are
+        auditable; pin queries_per_cluster to eliminate drops.
         """
         assert self.csr_codes is not None, (
             "IVF index is empty: call fit(X) and build(X) before query")
@@ -351,9 +408,10 @@ class _StreamMixin:
         if scan_impl == "auto":
             cap = self.max_tiles * LANE_TILE
             scan_impl = ("fused" if jax.default_backend() == "tpu"
-                         and _fused_ok(max(qc, qc0), self.pq, cap)
+                         and _fused_ok(self.pq, cap, self.max_tiles,
+                                       ((qc0, r), (qc, r_tail)))
                          else "xla")
-        return _ivf_query_stream(
+        out, dropped = _ivf_query_stream(
             batches, self.pq.center_blocks, self.pq.R,
             self.active_centers, self.csr_codes, self.csr_ids,
             self.tile_offsets, self.list_counts, self.scan_map,
@@ -363,6 +421,16 @@ class _StreamMixin:
             max_tiles=self.max_tiles,
             build_probes=getattr(self, "build_probes", 2),
             table_dtype=self.pq.table_dtype)
+        out = _map_labels(self.labels, out)
+        if with_stats:
+            return out, {
+                "dropped_probe_pairs": int(dropped),
+                "total_probe_pairs": R * Q * n_probes,
+                "queries_per_cluster_cap": qc,
+                "queries_per_cluster_cap_round0": qc0,
+                "pass_1": pass_1,
+            }
+        return out
 
 
 IVF.query_stream = _StreamMixin.query_stream
@@ -376,12 +444,12 @@ def _ivf_query_stream(batches, center_blocks, R, active_centers,
                       csr_codes, csr_ids, tile_offsets, list_counts,
                       scan_map, data, **kw):
     def body(q):
-        out, _ = _ivf_query.__wrapped__(
+        return _ivf_query.__wrapped__(
             q, center_blocks, R, active_centers, csr_codes, csr_ids,
             tile_offsets, list_counts, scan_map, data, **kw)
-        return out
 
-    return jax.lax.map(body, batches)
+    out, dropped = jax.lax.map(body, batches)
+    return out, jnp.sum(dropped)
 
 
 def _bucket_scan_round(probe_sub, tables_flat, csr_codes, csr_ids,
@@ -639,41 +707,69 @@ def _ivf_query(q, center_blocks, R, active_centers, csr_codes, csr_ids,
     return jnp.where(jnp.isfinite(out_d2), out, -1), dropped
 
 
+class TuneResult(NamedTuple):
+    """Result of ``tune_n_probes`` (a NamedTuple so adding fields never
+    breaks tuple unpacking again — the round-2 3->4-arity change did)."""
+    n_probes: int
+    pass_1: int
+    recall: float
+    recalls: dict   # {(n_probes, pass_1): measured recall}
+
+
 def tune_n_probes(ivf, queries, true_neighbours, k=10, target_recall=0.9,
-                  max_probes=None, pass1_mult=4.0, verbose=False):
-    """Smallest n_probes reaching ``target_recall`` on a validation set.
+                  max_probes=None, pass1_mults=(2.0, 4.0, 8.0),
+                  verbose=False):
+    """Cheapest (n_probes, pass_1) reaching ``target_recall`` on a
+    validation set.
 
     The reference leaves this sweep to its benchmark script
     (reference: examples/bench.py:116-139); serving deployments need it
-    as an API. ``pass1_mult`` widens the pass-1 rescore pool beyond the
-    reference's (P+1)k+1 sizing — on TPU the pool is one exact-rescore
-    gather, nearly free, and x4 was measured to dominate the
-    recall/QPS frontier (docs/PERFORMANCE.md). Returns
-    ``(n_probes, pass_1, achieved_recall, measured_recalls)``.
+    as an API. Both knobs are searched empirically: n_probes grows
+    until the target is reachable, and within the smallest sufficient
+    n_probes the pass-1 pool multiplier is searched downward through
+    ``pass1_mults`` (multiples of the reference's (P+1)k+1 sizing;
+    on TPU the pool is one exact-rescore gather, nearly free, and the
+    measured frontier sits at x2-x8 depending on the target —
+    docs/PERFORMANCE.md). Probing order exploits monotonicity in
+    pass_1: the widest pool is tried first per n_probes, and only if
+    it reaches the target are cheaper pools examined. Returns a
+    ``TuneResult(n_probes, pass_1, recall, recalls)`` NamedTuple.
     """
     import numpy as np
     queries = np.asarray(queries, dtype=np.float32)
     trus = [set(np.asarray(t).tolist()) for t in true_neighbours]
     max_probes = max_probes or ivf.active_centers.shape[0]
-    n_probes, recalls = 1, {}
-    p1 = None
-    while n_probes <= max_probes:
-        p1 = int(pass1_mult * ((n_probes + 1) * k + 1))
+    mults = sorted(pass1_mults)
+    recalls = {}
+
+    def measure(n_probes, mult):
+        p1 = int(mult * ((n_probes + 1) * k + 1))
+        if (n_probes, p1) in recalls:
+            return p1, recalls[(n_probes, p1)]
         guesses = np.asarray(ivf.query(queries, k=k, n_probes=n_probes,
                                        pass_1=p1))
         recall = float(np.mean(
             [len(trus[i] & set(g.tolist())) / max(len(trus[i]), 1)
              for i, g in enumerate(guesses)]))
-        recalls[n_probes] = recall
+        recalls[(n_probes, p1)] = recall
         if verbose:
             print(f"tune: n_probes={n_probes} pass_1={p1} "
                   f"recall={recall:.4f}")
+        return p1, recall
+
+    n_probes = 1
+    while n_probes <= max_probes:
+        p1, recall = measure(n_probes, mults[-1])
         if recall >= target_recall:
-            return n_probes, p1, recall, recalls
+            # cheapest sufficient pool within this n_probes
+            for mult in mults[:-1]:
+                p1_lo, recall_lo = measure(n_probes, mult)
+                if recall_lo >= target_recall:
+                    return TuneResult(n_probes, p1_lo, recall_lo, recalls)
+            return TuneResult(n_probes, p1, recall, recalls)
         n_probes += max(int(n_probes ** 0.5), 1)
     best = max(recalls, key=recalls.get)
-    return (best, int(pass1_mult * ((best + 1) * k + 1)),
-            recalls[best], recalls)
+    return TuneResult(best[0], best[1], recalls[best], recalls)
 
 
 @partial(jax.jit, static_argnames=("dpb", "metric", "k", "n_probes",

@@ -54,7 +54,11 @@ def block_dists_blocked(q_blocks, center_blocks):
     cn = jnp.einsum("bkd,bkd->bk", center_blocks, center_blocks)
     cross = jnp.einsum("qbd,bkd->qbk", q_blocks, center_blocks,
                        preferred_element_type=jnp.float32)
-    return qn[:, :, None] + cn[None, :, :] - 2.0 * cross
+    # The expanded form can go slightly negative by cancellation when a
+    # query block sits on a center; the float-tables fold encoding
+    # (bf16 bits << 16, ops/kernels.py) needs non-negative estimates
+    # for IEEE-bit order preservation, so clamp by construction.
+    return jnp.maximum(qn[:, :, None] + cn[None, :, :] - 2.0 * cross, 0.0)
 
 
 @jax.jit

@@ -64,8 +64,8 @@ class ShardedIVF(IVF):
                                                         self.mesh.axis_names)
         self.list_vecs = None
 
-    def build(self, X, n_probes=2, verbose=False):
-        super().build(X, n_probes, verbose)
+    def build(self, X, n_probes=2, labels=None, verbose=False):
+        super().build(X, n_probes, labels=labels, verbose=verbose)
         self._place()
         return self
 
@@ -175,7 +175,8 @@ class ShardedIVF(IVF):
         if scan_impl == "auto":
             from ..models.ivf import _fused_ok
             scan_impl = ("fused" if jax.default_backend() == "tpu"
-                         and _fused_ok(max(qc, qc0), self.pq, cap)
+                         and _fused_ok(self.pq, cap, self.max_tiles,
+                                       ((qc0, r), (qc, r_tail)))
                          else "xla")
 
         if self.metric == "angular":
@@ -217,6 +218,8 @@ class ShardedIVF(IVF):
                 qc0 = min(round_up(4 * qc0, 8), qc0_full)
         out = out[:true_q]
         out = out[0] if single else out
+        from ..models.ivf import _map_labels
+        out = _map_labels(self.labels, out)
         if with_stats:
             return out, {
                 "dropped_probe_pairs": int(dropped),
@@ -229,10 +232,18 @@ class ShardedIVF(IVF):
         return out
 
 
-def _sharded_stream_method(self, batches, k, n_probes=1, pass_1=None):
+def _sharded_stream_method(self, batches, k, n_probes=1, pass_1=None,
+                           with_stats=False):
     """(R, Q, d) stream of batches in ONE dispatch over the mesh —
     the multi-chip serving shape (see IVF.query_stream). Tables are
-    built per batch on each device's local query slice."""
+    built per batch on each device's local query slice.
+
+    Like the single-chip stream there is NO drop-retry escalation: a
+    heavily skewed batch can overflow the per-shard bucket capacity
+    and silently lose (query, probe) pairs. ``with_stats=True``
+    additionally returns the psum'd dropped-pair total across the
+    stream and all shards; pin ``queries_per_cluster`` to eliminate
+    drops for known-skewed serving streams."""
     batches = np.asarray(batches, dtype=np.float32)
     _, Qb, _ = batches.shape
     n_probes = min(n_probes, self._n_active_real)
@@ -258,7 +269,8 @@ def _sharded_stream_method(self, batches, k, n_probes=1, pass_1=None):
     if scan_impl == "auto":
         from ..models.ivf import _fused_ok
         scan_impl = ("fused" if jax.default_backend() == "tpu"
-                     and _fused_ok(max(qc, qc0), self.pq, cap)
+                     and _fused_ok(self.pq, cap, self.max_tiles,
+                                   ((qc0, r), (qc, r_tail)))
                      else "xla")
     if self.metric == "angular":
         batches = batches / np.maximum(
@@ -266,7 +278,7 @@ def _sharded_stream_method(self, batches, k, n_probes=1, pass_1=None):
     qspec = P(None, self.query_axis) if self.query_axis else P()
     qb = jax.device_put(jnp.asarray(batches),
                         NamedSharding(self.mesh, qspec))
-    return _sharded_query_stream(
+    out, dropped = _sharded_query_stream(
         qb, self.pq.center_blocks, self.pq.R, self.active_centers,
         self.csr_codes, self.csr_ids, self.tile_offsets,
         self.list_counts, self.scan_map, self.list_vecs,
@@ -277,6 +289,18 @@ def _sharded_stream_method(self, batches, k, n_probes=1, pass_1=None):
         build_probes=getattr(self, "build_probes", 2),
         dpb=self.pq.dims_per_block,
         table_dtype=self.pq.table_dtype)
+    from ..models.ivf import _map_labels
+    out = _map_labels(self.labels, out)
+    if with_stats:
+        return out, {
+            "dropped_probe_pairs": int(dropped),
+            "total_probe_pairs": int(np.prod(batches.shape[:2]))
+            * n_probes,
+            "queries_per_cluster_cap": qc,
+            "queries_per_cluster_cap_round0": qc0,
+            "pass_1": pass_1,
+        }
+    return out
 
 
 ShardedIVF.query_stream = _sharded_stream_method
@@ -308,16 +332,17 @@ def _sharded_query_stream(qb, center_blocks, Rm, centers, csr_codes,
         def body(q):
             tables = _build_tables(q, center_blocks, Rm, dpb,
                                    True, table_dtype).tables
-            ids, _, _ = step(q, tables, centers, codes_l, ids_l,
-                             toff_l, counts_l, smap_l, vecs_l)
-            return ids
-        return jax.lax.map(body, qb)
+            ids, _, dropped = step(q, tables, centers, codes_l, ids_l,
+                                   toff_l, counts_l, smap_l, vecs_l)
+            return ids, dropped
+        ids, dropped = jax.lax.map(body, qb)
+        return ids, jnp.sum(dropped)
 
     return jax.shard_map(
         stream, mesh=mesh,
         in_specs=(spec_q, P(), spec_s, spec_s, spec_s, spec_s,
                   (spec_s,) * 4, spec_s),
-        out_specs=spec_q, check_vma=False,
+        out_specs=(spec_q, P()), check_vma=False,
     )(qb, centers, csr_codes, csr_ids, tile_offsets, list_counts,
       scan_map, list_vecs)
 

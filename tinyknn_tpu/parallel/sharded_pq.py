@@ -18,7 +18,7 @@ import numpy as np
 from jax.sharding import PartitionSpec as P
 
 from ..models.fast_pq import FastPQ, _build_tables, pass1_topk
-from ..ops.scan import estimate_scan_xla
+from ..ops.scan import estimate_scan
 from ..utils.padding import round_up
 from .mesh import make_mesh, replicate, shard_on_axis0
 
@@ -76,21 +76,25 @@ class ShardedFastPQ:
         out = _sharded_search(
             qj, self.codes, self.vectors, self.pq.center_blocks, self.pq.R,
             mesh=self.mesh, axis=self.axis, dpb=self.pq.dims_per_block,
-            true_n=self.true_n, k=k, rescore=rescore, method=method)
+            true_n=self.true_n, k=k, rescore=rescore, method=method,
+            backend=self.pq.backend)
         return out[0] if single else out
 
 
 @partial(jax.jit, static_argnames=("mesh", "axis", "dpb", "true_n", "k",
-                                   "rescore", "method"))
+                                   "rescore", "method", "backend"))
 def _sharded_search(q, codes, vectors, center_blocks, R, *, mesh, axis,
-                    dpb, true_n, k, rescore, method):
+                    dpb, true_n, k, rescore, method, backend="auto"):
     def step(q, codes_l, vecs_l):
         me = jax.lax.axis_index(axis)
         local_n = codes_l.shape[0]
         base = me * local_n
         tables = _build_tables(q, center_blocks, R, dpb, True).tables
-        est = estimate_scan_xla(codes_l, tables,
-                                packed=True)           # (Q, local_n) int32
+        # the backend dispatcher picks the tiled Pallas kernel on TPU
+        # (each device scans its local shard with the production
+        # kernel under shard_map; XLA one-hot matmul elsewhere)
+        est = estimate_scan(codes_l, tables, backend,
+                            packed=True)               # (Q, local_n) int32
         # mask global padding rows (only the last shard has any)
         gids = base + jnp.arange(local_n)
         est = jnp.where(gids[None, :] < true_n, est,
