@@ -94,6 +94,27 @@ def main():
         f"queries -> {qps:.0f} QPS sustained "
         f"({reps} batches + one dispatch in {elapsed*1000:.0f}ms)")
 
+    # ---- on-device kernel equality gate: the Pallas tiled kernel must
+    # agree with the XLA one-hot matmul oracle ON REAL HARDWARE (the
+    # pltpu.repeat interpret/hardware divergence showed interpret-mode
+    # tests alone can lie — CLAUDE.md); exact int32 equality, every run.
+    if jax.default_backend() == "tpu":
+        from tinyknn_tpu.ops.kernels import estimate_scan_pallas
+        from tinyknn_tpu.ops.scan import estimate_scan_xla
+        qt_small = _build_tables(jnp.asarray(qs[:8]), cb, None, dpb, True)
+
+        @jax.jit
+        def _diff(codes, tables):
+            a = estimate_scan_pallas(codes, tables, packed=True)[:, :n]
+            b = estimate_scan_xla(codes, tables, packed=True)[:, :n]
+            return jnp.sum(jnp.abs(a - b))
+
+        kernel_diff = int(_diff(codes, qt_small.tables))
+        log(f"kernel equality (pallas vs xla oracle, on device): "
+            f"diff={kernel_diff}")
+    else:
+        kernel_diff = 0
+
     # ---- quality gate: true-NN rank distribution of the estimates
     # (computed on device: only the (nq,) ranks come back — full-est
     # readback is prohibitively slow on remote TPU links)
@@ -170,7 +191,8 @@ def main():
     # estimator yields median 2.0 on seeded data (docs/PERFORMANCE.md,
     # "Quality parity"), so 2.0/25 is the honest tight gate.
     baseline = 7101.26
-    quality_ok = med <= 2.0 and q90 <= 25.0 and recall >= 0.85
+    quality_ok = (med <= 2.0 and q90 <= 25.0 and recall >= 0.85
+                  and kernel_diff == 0)
     if not quality_ok:
         log("QUALITY GATE FAILED — reporting vs_baseline=0")
     result = {

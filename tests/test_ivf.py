@@ -339,3 +339,25 @@ def test_corpus_row_cap_asserted():
         assert False, "expected the 2^31-row cap assert"
     except AssertionError as e:
         assert "2^31" in str(e)
+
+
+def test_fold_mult_knob():
+    """fold_mult shrinks the fused kernel's fold buffer (the pass-1
+    pool); recall degrades at most marginally at moderate widths and
+    the knob round-trips through the query paths."""
+    np.random.seed(33)
+    X = np.random.randn(2500, 16).astype(np.float32)
+    qs = np.random.randn(50, 16).astype(np.float32)
+    trus = np.asarray(knn_brute(qs, X, k=10))
+
+    def recall(**kw):
+        ivf = IVF("euclidean", 50, FastPQ(2, rotate_dim=None),
+                  scan_impl="fused", **kw)
+        ivf.fit(X).build(X, n_probes=2)
+        g = np.asarray(ivf.query(qs, k=10, n_probes=6, pass_1=120))
+        return np.mean([len(set(a.tolist()) & set(t.tolist())) / 10
+                        for a, t in zip(g, trus)])
+
+    wide, narrow = recall(), recall(fold_mult=2)
+    assert narrow >= wide - 0.1, (wide, narrow)
+    assert wide >= 0.6, wide

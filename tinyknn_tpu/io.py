@@ -141,6 +141,7 @@ def save_ivf(path, ivf: IVF, compress: bool = False):
             "pass1_method": ivf.pass1_method,
             "scan_impl": ivf.scan_impl,
             "build_probes": getattr(ivf, "build_probes", 2),
+            "fold_mult": getattr(ivf, "fold_mult", 8),
         }).encode(), dtype=np.uint8),
         all_centers=np.asarray(ivf.all_centers),
         active_centers=active_centers,
@@ -190,6 +191,7 @@ def load_ivf(path) -> IVF:
         ivf.queries_per_cluster = meta.get("queries_per_cluster")
         ivf.pass1_method = meta.get("pass1_method", "auto")
         ivf.scan_impl = meta.get("scan_impl", "auto")
+        ivf.fold_mult = meta.get("fold_mult", 8)
         ivf.build_probes = meta.get("build_probes")
         ivf.pq = pq
         ivf.labels = (np.asarray(data["labels"])

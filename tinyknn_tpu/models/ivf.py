@@ -51,6 +51,8 @@ from ..ops.topk import dedup_candidates
 from .fast_pq import FastPQ, _build_tables, _resolve_method, pass1_topk
 
 CLUSTER_CHUNK = 8  # clusters scanned per lax.map step in the XLA path
+FOLD_MULT = 8       # fold-width headroom over r (see _fold_tiles)
+ENC_INVALID = 2**31 - 1  # empty-slot sentinel of the encoded fold domain
 
 
 def _tiles_to_dense(csr_codes, tile_offsets, max_tiles: int):
@@ -84,7 +86,8 @@ class IVF:
 
     def __init__(self, metric, n_clusters, pq=None, seed=0,
                  kmeans_iters=30, queries_per_cluster=None,
-                 pass1_method="auto", scan_impl="auto"):
+                 pass1_method="auto", scan_impl="auto",
+                 fold_mult=FOLD_MULT):
         assert metric in ["euclidean", "angular"]
         self.metric = metric
         self.pq = FastPQ(dims_per_block=2) if pq is None else pq
@@ -95,6 +98,7 @@ class IVF:
         self.queries_per_cluster = queries_per_cluster
         self.pass1_method = pass1_method
         self.scan_impl = scan_impl
+        self.fold_mult = fold_mult
         self.list_counts = None  # (C,) int32 true list lengths
         self.all_centers = None
         self.active_centers = None
@@ -242,11 +246,13 @@ class IVF:
         # fused CSR Pallas scan+select whenever the working set fits
         # VMEM and the int32 value+position encoding has headroom; the
         # XLA path is the fallback and oracle.
+        fold_mult = getattr(self, "fold_mult", FOLD_MULT)
         scan_impl = self.scan_impl
         if scan_impl == "auto":
             scan_impl = ("fused" if jax.default_backend() == "tpu"
                          and _fused_ok(self.pq, cap, self.max_tiles,
-                                       ((qc0, r), (qc, r_tail)))
+                                       ((qc0, r), (qc, r_tail)),
+                                       fold_mult)
                          else "xla")
 
         if mode == "gather":
@@ -288,7 +294,8 @@ class IVF:
                     r_tail=r_tail, qc=qc, qc0=qc0, method=method,
                     scan_impl=scan_impl, max_tiles=self.max_tiles,
                     build_probes=getattr(self, "build_probes", 2),
-                    table_dtype=self.pq.table_dtype)
+                    table_dtype=self.pq.table_dtype,
+                    fold_mult=fold_mult)
                 if _attempt + 1 == attempts or int(dropped) == 0:
                     break
                 if _attempt + 2 == attempts:  # last try: can't-drop caps
@@ -323,14 +330,19 @@ def _map_labels(labels, out):
     return np.where(out >= 0, labels[np.maximum(out, 0)], np.int64(-1))
 
 
-def _fold_tiles(r: int, max_tiles: int) -> int:
-    """Fold width (in 128-lane tiles) for the CSR kernel: ~8x headroom
-    over r keeps position-class collisions (the fold's approximation)
-    negligible; never wider than the longest list."""
-    return max(1, min(max_tiles, -(-8 * r // LANE_TILE)))
+def _fold_tiles(r: int, max_tiles: int, mult: int = FOLD_MULT) -> int:
+    """Fold width (in 128-lane tiles) for the CSR kernel: ``mult``x
+    headroom over r keeps position-class collisions (the fold's
+    approximation) rare; never wider than the longest list. The
+    default x8 is the recall-first setting; W directly sizes the pool
+    the global selection scans, so latency-sensitive deployments can
+    shrink it (IVF(fold_mult=...), measured trade-off in
+    docs/PERFORMANCE.md)."""
+    return max(1, min(max_tiles, -(-mult * r // LANE_TILE)))
 
 
-def _fused_ok(pq, cap: int, max_tiles: int, rounds) -> bool:
+def _fused_ok(pq, cap: int, max_tiles: int, rounds,
+              mult: int = FOLD_MULT) -> bool:
     """Whether the fused CSR kernel can run this query shape: the
     int32 value+position encoding must fit (int8 tables: value bits +
     position bits; bf16/f32 tables: bf16 bits << 16 | 16-bit position)
@@ -353,7 +365,7 @@ def _fused_ok(pq, cap: int, max_tiles: int, rounds) -> bool:
     elif cap > 1 << 16:
         return False
     for qc, r in rounds:
-        S = _fold_tiles(r, max_tiles) * LANE_TILE
+        S = _fold_tiles(r, max_tiles, mult) * LANE_TILE
         vmem = (qc * 16 * B_pad          # tables block (int8)
                 + 2 * 4 * qc * S         # fold: out block + scratch (int32)
                 + 64 * B_pad * LANE_TILE)  # codes tile + one-hot slack
@@ -404,12 +416,14 @@ class _StreamMixin:
         k, n_probes, pass_1, r, r_tail, qc, qc0 = _query_params(
             self, Q, k, n_probes, pass_1)
         method = _resolve_method(self.pass1_method)
+        fold_mult = getattr(self, "fold_mult", FOLD_MULT)
         scan_impl = self.scan_impl
         if scan_impl == "auto":
             cap = self.max_tiles * LANE_TILE
             scan_impl = ("fused" if jax.default_backend() == "tpu"
                          and _fused_ok(self.pq, cap, self.max_tiles,
-                                       ((qc0, r), (qc, r_tail)))
+                                       ((qc0, r), (qc, r_tail)),
+                                       fold_mult)
                          else "xla")
         out, dropped = _ivf_query_stream(
             batches, self.pq.center_blocks, self.pq.R,
@@ -420,7 +434,7 @@ class _StreamMixin:
             qc=qc, qc0=qc0, method=method, scan_impl=scan_impl,
             max_tiles=self.max_tiles,
             build_probes=getattr(self, "build_probes", 2),
-            table_dtype=self.pq.table_dtype)
+            table_dtype=self.pq.table_dtype, fold_mult=fold_mult)
         out = _map_labels(self.labels, out)
         if with_stats:
             return out, {
@@ -439,7 +453,8 @@ IVF.query_stream = _StreamMixin.query_stream
 @partial(jax.jit, static_argnames=("dpb", "metric", "k", "n_probes",
                                    "pass_1", "r", "r_tail", "qc", "qc0",
                                    "method", "scan_impl", "max_tiles",
-                                   "build_probes", "table_dtype"))
+                                   "build_probes", "table_dtype",
+                                   "fold_mult"))
 def _ivf_query_stream(batches, center_blocks, R, active_centers,
                       csr_codes, csr_ids, tile_offsets, list_counts,
                       scan_map, data, **kw):
@@ -455,24 +470,28 @@ def _ivf_query_stream(batches, center_blocks, R, active_centers,
 def _bucket_scan_round(probe_sub, tables_flat, csr_codes, csr_ids,
                        tile_offsets, list_counts, scan_map, qc: int,
                        r: int, method: str, scan_impl: str,
-                       max_tiles: int):
+                       max_tiles: int, fold_mult: int = FOLD_MULT):
     """One bucketed scan round over a probe subset.
 
     probe_sub: (Q, Ps) cluster ids. Buckets the (query, probe) pairs by
     cluster (sort + run-position, static capacity ``qc``), scans each
     cluster once as a shared one-hot x tables int8 matmul on the MXU,
-    and gathers each pair's candidate pool back per query. Returns
-    ``(vals f32[Q, Ps, W], rows int32[Q, Ps, W], dropped)`` — estimate
-    values (+inf = no candidate) and flat csr row indices; ids are NOT
-    decoded here (callers gather csr_ids only for the few candidates
-    that survive global selection).
+    and gathers each pair's candidate pool back per query.
 
     scan_impl: 'fused' uses the ragged CSR Pallas fold kernel (only
     actual list tiles are scanned, the estimate matrix never leaves
     VMEM, and NO in-kernel top-r extraction happens — the pool is the
-    fold buffer itself, W = fold width >= r); 'xla' is the portable
-    fallback/oracle (densifies each list to ``max_tiles`` tiles per
-    cluster chunk and extracts top-``r`` per pair, W = r).
+    fold buffer itself, W = fold width >= r). Returns the pool *in the
+    encoded int32 domain*: ``(enc int32[Q, Ps, S], rowbase int32[Q,
+    Ps], dropped)`` with S = fold width; nothing is decoded here —
+    global selection runs on the encoding directly and only the
+    surviving candidates are ever decoded (_select_pool_enc), which
+    removes two full-width f32/int32 materializations per round.
+    'xla' is the portable fallback/oracle (densifies each list to
+    ``max_tiles`` tiles per cluster chunk and extracts top-``r`` per
+    pair); it returns decoded ``(vals f32[Q, Ps, r], rows int32[Q, Ps,
+    r], dropped)`` — estimate values (+inf = no candidate) and flat
+    csr row indices.
     """
     Q, Ps = probe_sub.shape
     C = tile_offsets.shape[0]
@@ -506,7 +525,8 @@ def _bucket_scan_round(probe_sub, tables_flat, csr_codes, csr_ids,
         t_sel = tables_flat[jnp.maximum(qgrid, 0)]    # (C, qc, M) int8
         enc = scan_fold_csr(
             t_sel, csr_codes, *scan_map, list_counts,
-            fold_tiles=_fold_tiles(r, max_tiles), max_tiles=max_tiles,
+            fold_tiles=_fold_tiles(r, max_tiles, fold_mult),
+            max_tiles=max_tiles,
             interpret=jax.default_backend() != "tpu")  # (C, qc, S)
         S = enc.shape[2]
         enc_flat = enc.reshape(C * qc, S)
@@ -562,32 +582,63 @@ def _bucket_scan_round(probe_sub, tables_flat, csr_codes, csr_ids,
     dropped = jnp.sum((slot >= qc) & (sorted_c < C))
     if scan_impl == "fused":
         my_enc = enc_flat[pair_idx]                   # (Q, Ps, S)
-        valid = (my_enc < jnp.int32(2**31 - 1)) & valid_pair[:, :, None]
-        if tables_flat.dtype == jnp.int8:
-            col_bits = max(
-                1, (max_tiles * LANE_TILE - 1).bit_length())
-            bias = 128 * (M // 16)
-            vals = (jax.lax.shift_right_logical(
-                my_enc, jnp.int32(col_bits))
-                - jnp.int32(bias)).astype(jnp.float32)
-        else:                                         # bf16-bits encoding
-            col_bits = 16
-            bits = jax.lax.shift_right_logical(
-                my_enc, jnp.int32(16)).astype(jnp.uint16)
-            vals = jax.lax.bitcast_convert_type(
-                bits, jnp.bfloat16).astype(jnp.float32)
-        my_vals = jnp.where(valid, vals, jnp.inf)
-        pos = my_enc & jnp.int32((1 << col_bits) - 1)
+        my_enc = jnp.where(valid_pair[:, :, None], my_enc,
+                           jnp.int32(ENC_INVALID))
         rowbase = (tile_offsets.astype(jnp.int32) * LANE_TILE)[
             jnp.minimum(probe_sub, C - 1)]            # (Q, Ps)
-        my_rows = jnp.minimum(rowbase[:, :, None] + pos, n_rows - 1)
-        my_rows = jnp.where(valid, my_rows, 0)
-        return my_vals, my_rows, dropped
+        return my_enc, rowbase, dropped
     my_vals = cand_vals[pair_idx]                     # (Q, Ps, r)
     my_rows = cand_pos[pair_idx]
     my_vals = jnp.where(valid_pair[:, :, None], my_vals, jnp.inf)
     my_rows = jnp.where(valid_pair[:, :, None], my_rows, 0)
     return my_vals, my_rows, dropped
+
+
+def _select_pool_enc(pools, bases, p1: int, method: str, col_bits: int,
+                     csr_ids):
+    """Global candidate selection in the encoded int32 domain.
+
+    pools: per-round encoded fold buffers [(Q, Ps_i, S_i) int32];
+    bases: matching flat-row bases [(Q, Ps_i) int32]. Selects the p1
+    smallest encodings per query and decodes ONLY the survivors to
+    (ids, flat rows) — the encoding (est + bias) << col_bits | pos is
+    monotone in the estimate (position bits break ties), so selecting
+    on it is selecting on the estimate, and the full-width pool never
+    materializes decoded values or row indices (round 2 spent ~40 of
+    84 ms at P=10/Q=10k on exactly those two full-width passes).
+
+    With method='approx' the int pool is converted to f32 for
+    approx_max_k; f32 rounding can blur the lowest ~2 position bits of
+    wide encodings, which only reorders near-ties — the survivors'
+    *exact* encodings are re-gathered for decoding. 'exact' runs
+    lax.top_k on the int32 pool directly.
+
+    Returns (cand ids int32[Q, p1] (-1 = invalid), rows int32[Q, p1]).
+    """
+    Q = pools[0].shape[0]
+    pool = jnp.concatenate([p.reshape(Q, -1) for p in pools], axis=1)
+    base = jnp.concatenate(bases, axis=1)             # (Q, P)
+    if method == "approx":
+        _, top_pos = jax.lax.approx_max_k(-pool.astype(jnp.float32), p1)
+    else:
+        _, top_pos = jax.lax.top_k(-pool, p1)
+    enc_sel = jnp.take_along_axis(pool, top_pos, axis=1)  # (Q, p1)
+    pos = enc_sel & jnp.int32((1 << col_bits) - 1)
+    S0 = pools[0].shape[1] * pools[0].shape[2]
+    if len(pools) > 1:
+        St = pools[1].shape[2]
+        probe_of = jnp.where(
+            top_pos < S0, 0,
+            1 + (top_pos - S0) // St).astype(jnp.int32)
+    else:
+        probe_of = jnp.zeros_like(top_pos)
+    rowbase = jnp.take_along_axis(base, probe_of, axis=1)
+    n_rows = csr_ids.shape[0]
+    rows = jnp.minimum(rowbase + pos, n_rows - 1)
+    valid = enc_sel < jnp.int32(ENC_INVALID)
+    rows = jnp.where(valid, rows, 0)
+    cand = jnp.where(valid, csr_ids[rows], -1)
+    return cand, rows
 
 
 def default_qc0(Q: int, C: int) -> int:
@@ -602,14 +653,16 @@ def default_qc0(Q: int, C: int) -> int:
 @partial(jax.jit, static_argnames=("dpb", "metric", "k", "n_probes",
                                    "pass_1", "r", "r_tail", "qc", "qc0",
                                    "method", "scan_impl", "max_tiles",
-                                   "build_probes", "table_dtype"))
+                                   "build_probes", "table_dtype",
+                                   "fold_mult"))
 def _ivf_query(q, center_blocks, R, active_centers, csr_codes, csr_ids,
                tile_offsets, list_counts, scan_map, data, *, dpb: int,
                metric: str,
                k: int, n_probes: int, pass_1: int, r: int, r_tail: int,
                qc: int, qc0: int, method: str = "exact",
                scan_impl: str = "xla", max_tiles: int = 1,
-               build_probes: int = 2, table_dtype: str = "int8"):
+               build_probes: int = 2, table_dtype: str = "int8",
+               fold_mult: int = FOLD_MULT):
     """The full batched IVF query step — one jitted computation.
 
     Stages (Q queries, C clusters, cap list capacity, P probes):
@@ -660,20 +713,15 @@ def _ivf_query(q, center_blocks, R, active_centers, csr_codes, csr_ids,
     v0, rows0, drop0 = _bucket_scan_round(
         probe_sel[:, :1], tables_flat, csr_codes, csr_ids, tile_offsets,
         list_counts, scan_map, qc=qc0, r=r, method=method,
-        scan_impl=scan_impl, max_tiles=max_tiles)
+        scan_impl=scan_impl, max_tiles=max_tiles, fold_mult=fold_mult)
     if P > 1:
         v1, rows1, drop1 = _bucket_scan_round(
             probe_sel[:, 1:], tables_flat, csr_codes, csr_ids,
             tile_offsets, list_counts, scan_map, qc=qc, r=r_tail,
-            method=method, scan_impl=scan_impl, max_tiles=max_tiles)
-        flat_vals = jnp.concatenate(
-            [v0.reshape(Q, -1), v1.reshape(Q, -1)], axis=1)
-        flat_rows = jnp.concatenate(
-            [rows0.reshape(Q, -1), rows1.reshape(Q, -1)], axis=1)
+            method=method, scan_impl=scan_impl, max_tiles=max_tiles,
+            fold_mult=fold_mult)
         dropped = drop0 + drop1
     else:
-        flat_vals = v0.reshape(Q, -1)
-        flat_rows = rows0.reshape(Q, -1)
         dropped = drop0
 
     # -- 4. global top candidate pool. No duplicate handling here: a
@@ -685,10 +733,28 @@ def _ivf_query(q, center_blocks, R, active_centers, csr_codes, csr_ids,
     # removed there on a k*f-wide sliver (the reference dedups inside
     # its heap, tinyknn/_fast_pq.pyx:285-287).
     f = min(build_probes, n_probes)
-    p1 = min(f * pass_1, flat_vals.shape[1])
-    vsel, top_pos = pass1_topk(-flat_vals, p1, method)
-    rows_sel = jnp.take_along_axis(flat_rows, top_pos, axis=1)
-    cand = jnp.where(jnp.isfinite(vsel), csr_ids[rows_sel], -1)  # (Q, p1)
+    if scan_impl == "fused":
+        # selection runs directly on the encoded int32 fold buffers;
+        # only the p1 survivors are ever decoded (see _select_pool_enc)
+        pools = [v0] + ([v1] if P > 1 else [])
+        bases = [rows0] + ([rows1] if P > 1 else [])
+        width = sum(p.shape[1] * p.shape[2] for p in pools)
+        p1 = min(f * pass_1, width)
+        col_bits = (16 if tables_flat.dtype != jnp.int8 else
+                    max(1, (max_tiles * LANE_TILE - 1).bit_length()))
+        cand, _ = _select_pool_enc(pools, bases, p1, method, col_bits,
+                                   csr_ids)
+    else:
+        flat_vals = jnp.concatenate(
+            [v0.reshape(Q, -1)] + ([v1.reshape(Q, -1)] if P > 1 else []),
+            axis=1)
+        flat_rows = jnp.concatenate(
+            [rows0.reshape(Q, -1)]
+            + ([rows1.reshape(Q, -1)] if P > 1 else []), axis=1)
+        p1 = min(f * pass_1, flat_vals.shape[1])
+        vsel, top_pos = pass1_topk(-flat_vals, p1, method)
+        rows_sel = jnp.take_along_axis(flat_rows, top_pos, axis=1)
+        cand = jnp.where(jnp.isfinite(vsel), csr_ids[rows_sel], -1)
 
     # -- 5. exact rescore (+ tiny post-rescore dedup when f > 1)
     gathered = data[jnp.maximum(cand, 0)]             # (Q, p1, d)

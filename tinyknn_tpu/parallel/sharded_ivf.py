@@ -171,12 +171,14 @@ class ShardedIVF(IVF):
         qc0 = self.queries_per_cluster or default_qc0(
             q_local, max(C_pad // c_dev, 1))
         method = _resolve_method(self.pass1_method)
+        fold_mult = getattr(self, "fold_mult", 8)
         scan_impl = self.scan_impl
         if scan_impl == "auto":
             from ..models.ivf import _fused_ok
             scan_impl = ("fused" if jax.default_backend() == "tpu"
                          and _fused_ok(self.pq, cap, self.max_tiles,
-                                       ((qc0, r), (qc, r_tail)))
+                                       ((qc0, r), (qc, r_tail)),
+                                       fold_mult)
                          else "xla")
 
         if self.metric == "angular":
@@ -208,7 +210,8 @@ class ShardedIVF(IVF):
                 metric=self.metric, k=k, n_probes=n_probes, pass_1=pass_1,
                 r=r, r_tail=r_tail, qc=qc, qc0=qc0, method=method,
                 scan_impl=scan_impl, max_tiles=self.max_tiles,
-                build_probes=getattr(self, "build_probes", 2))
+                build_probes=getattr(self, "build_probes", 2),
+                fold_mult=fold_mult)
             if _attempt + 1 == attempts or int(dropped) == 0:
                 break
             if _attempt + 2 == attempts:  # last try: can't-drop caps
@@ -265,12 +268,14 @@ def _sharded_stream_method(self, batches, k, n_probes=1, pass_1=None,
     qc0 = self.queries_per_cluster or default_qc0(
         q_local, max(C_pad // c_dev, 1))
     method = _resolve_method(self.pass1_method)
+    fold_mult = getattr(self, "fold_mult", 8)
     scan_impl = self.scan_impl
     if scan_impl == "auto":
         from ..models.ivf import _fused_ok
         scan_impl = ("fused" if jax.default_backend() == "tpu"
                      and _fused_ok(self.pq, cap, self.max_tiles,
-                                   ((qc0, r), (qc, r_tail)))
+                                   ((qc0, r), (qc, r_tail)),
+                                   fold_mult)
                      else "xla")
     if self.metric == "angular":
         batches = batches / np.maximum(
@@ -288,7 +293,7 @@ def _sharded_stream_method(self, batches, k, n_probes=1, pass_1=None,
         scan_impl=scan_impl, max_tiles=self.max_tiles,
         build_probes=getattr(self, "build_probes", 2),
         dpb=self.pq.dims_per_block,
-        table_dtype=self.pq.table_dtype)
+        table_dtype=self.pq.table_dtype, fold_mult=fold_mult)
     from ..models.ivf import _map_labels
     out = _map_labels(self.labels, out)
     if with_stats:
@@ -310,13 +315,14 @@ ShardedIVF.query_stream = _sharded_stream_method
          static_argnames=("mesh", "axis", "query_axis", "metric", "k",
                           "n_probes", "pass_1", "r", "r_tail", "qc",
                           "qc0", "method", "scan_impl", "max_tiles",
-                          "build_probes", "dpb", "table_dtype"))
+                          "build_probes", "dpb", "table_dtype",
+                          "fold_mult"))
 def _sharded_query_stream(qb, center_blocks, Rm, centers, csr_codes,
                           csr_ids, tile_offsets, list_counts, scan_map,
                           list_vecs, *, mesh, axis, query_axis, metric,
                           k, n_probes, pass_1, r, r_tail, qc, qc0,
                           method, scan_impl, max_tiles, build_probes,
-                          dpb, table_dtype="int8"):
+                          dpb, table_dtype="int8", fold_mult=8):
     from ..models.fast_pq import _build_tables
     spec_s = P(axis)
     spec_q = P(None, query_axis) if query_axis else P()
@@ -325,7 +331,7 @@ def _sharded_query_stream(qb, center_blocks, Rm, centers, csr_codes,
                    metric=metric, k=k, n_probes=n_probes, pass_1=pass_1,
                    r=r, r_tail=r_tail, qc=qc, qc0=qc0, method=method,
                    scan_impl=scan_impl, max_tiles=max_tiles,
-                   build_probes=build_probes)
+                   build_probes=build_probes, fold_mult=fold_mult)
 
     def stream(qb, centers, codes_l, ids_l, toff_l, counts_l, smap_l,
                vecs_l):
@@ -351,11 +357,12 @@ def _sharded_query_stream(qb, center_blocks, Rm, centers, csr_codes,
          static_argnames=("mesh", "axis", "query_axis", "metric", "k",
                           "n_probes", "pass_1", "r", "r_tail", "qc", "qc0",
                           "method", "scan_impl", "max_tiles",
-                          "build_probes"))
+                          "build_probes", "fold_mult"))
 def _sharded_query(q, tables, centers, csr_codes, csr_ids, tile_offsets,
                    list_counts, scan_map, list_vecs, *, mesh, axis,
                    query_axis, metric, k, n_probes, pass_1, r, r_tail,
-                   qc, qc0, method, scan_impl, max_tiles, build_probes):
+                   qc, qc0, method, scan_impl, max_tiles, build_probes,
+                   fold_mult=8):
     spec_s = P(axis)
     spec_q = P(query_axis) if query_axis else P()
     spec_r = P()
@@ -365,7 +372,8 @@ def _sharded_query(q, tables, centers, csr_codes, csr_ids, tile_offsets,
                    metric=metric, k=k,
                    n_probes=n_probes, pass_1=pass_1, r=r, r_tail=r_tail,
                    qc=qc, qc0=qc0, method=method, scan_impl=scan_impl,
-                   max_tiles=max_tiles, build_probes=build_probes)
+                   max_tiles=max_tiles, build_probes=build_probes,
+                   fold_mult=fold_mult)
     # check_vma=False: outputs are replicated along the cluster axis by
     # construction (they come out of an all_gather/psum + identical
     # replicated math), which the varying-axes checker cannot infer
@@ -383,7 +391,8 @@ def _sharded_query(q, tables, centers, csr_codes, csr_ids, tile_offsets,
 def _shard_local_query(q, tables, centers, codes_l, ids_l, toff_l,
                        counts_l, scan_map_l, vecs_l, *, axis, psum_axes,
                        metric, k, n_probes, pass_1, r, r_tail, qc, qc0,
-                       method, scan_impl, max_tiles, build_probes):
+                       method, scan_impl, max_tiles, build_probes,
+                       fold_mult=8):
     """Per-shard body: local two-round bucketed scan (shared with the
     single-chip path, models/ivf.py) + local rescore + gather-merge.
     codes_l/ids_l/toff_l/counts_l are the shard's local CSR tile arrays;
@@ -423,37 +432,56 @@ def _shard_local_query(q, tables, centers, codes_l, ids_l, toff_l,
     v0, rows0, drop0 = _bucket_scan_round(
         probes_local[:, :1], tables_flat, codes_l, ids_l, toff_l,
         counts_l, scan_map_l, qc=qc0, r=r, method=method,
-        scan_impl=scan_impl, max_tiles=max_tiles)
+        scan_impl=scan_impl, max_tiles=max_tiles, fold_mult=fold_mult)
     dropped = drop0
     if P_ > 1:
         v1, rows1, drop1 = _bucket_scan_round(
             probes_local[:, 1:], tables_flat, codes_l, ids_l, toff_l,
             counts_l, scan_map_l, qc=qc, r=r_tail, method=method,
-            scan_impl=scan_impl, max_tiles=max_tiles)
+            scan_impl=scan_impl, max_tiles=max_tiles,
+            fold_mult=fold_mult)
         dropped = dropped + drop1
-        ok0 = is_local[:, :1, None]
-        ok1 = is_local[:, 1:, None]
-        flat_vals = jnp.concatenate(
-            [jnp.where(ok0, v0, jnp.inf).reshape(Q, -1),
-             jnp.where(ok1, v1, jnp.inf).reshape(Q, -1)], axis=1)
-        flat_rows = jnp.concatenate(
-            [jnp.where(ok0, rows0, 0).reshape(Q, -1),
-             jnp.where(ok1, rows1, 0).reshape(Q, -1)], axis=1)
-    else:
-        ok0 = is_local[:, :1, None]
-        flat_vals = jnp.where(ok0, v0, jnp.inf).reshape(Q, -1)
-        flat_rows = jnp.where(ok0, rows0, 0).reshape(Q, -1)
 
     # No big-pool dedup (costs ~half the query at scale): duplicates
     # are bounded by f = min(build_probes, n_probes); select f * pass_1
     # slots so >= pass_1 unique candidates reach the rescore, then
     # dedup post-rescore on a k*f sliver (see models/ivf.py).
     from ..models.fast_pq import pass1_topk
+    from ..models.ivf import ENC_INVALID, _select_pool_enc
     f = min(build_probes, n_probes)
-    p1_eff = min(f * pass_1, flat_vals.shape[1])
-    vsel, top_pos = pass1_topk(-flat_vals, p1_eff, method)
-    cand_p = jnp.take_along_axis(flat_rows, top_pos, axis=1)
-    cand = jnp.where(jnp.isfinite(vsel), ids_l[cand_p], -1)
+    if scan_impl == "fused":
+        # non-local probe pairs are invalidated in the encoded domain;
+        # selection + survivor-only decode shared with the single-chip
+        # path (models/ivf.py _select_pool_enc)
+        pools = [jnp.where(is_local[:, :1, None], v0,
+                           jnp.int32(ENC_INVALID))]
+        bases = [rows0]
+        if P_ > 1:
+            pools.append(jnp.where(is_local[:, 1:, None], v1,
+                                   jnp.int32(ENC_INVALID)))
+            bases.append(rows1)
+        width = sum(p.shape[1] * p.shape[2] for p in pools)
+        p1_eff = min(f * pass_1, width)
+        col_bits = (16 if tables_flat.dtype != jnp.int8 else
+                    max(1, (max_tiles * 128 - 1).bit_length()))
+        cand, cand_p = _select_pool_enc(pools, bases, p1_eff, method,
+                                        col_bits, ids_l)
+    else:
+        ok0 = is_local[:, :1, None]
+        flat_vals = jnp.where(ok0, v0, jnp.inf).reshape(Q, -1)
+        flat_rows = jnp.where(ok0, rows0, 0).reshape(Q, -1)
+        if P_ > 1:
+            ok1 = is_local[:, 1:, None]
+            flat_vals = jnp.concatenate(
+                [flat_vals, jnp.where(ok1, v1, jnp.inf).reshape(Q, -1)],
+                axis=1)
+            flat_rows = jnp.concatenate(
+                [flat_rows, jnp.where(ok1, rows1, 0).reshape(Q, -1)],
+                axis=1)
+        p1_eff = min(f * pass_1, flat_vals.shape[1])
+        vsel, top_pos = pass1_topk(-flat_vals, p1_eff, method)
+        cand_p = jnp.take_along_axis(flat_rows, top_pos, axis=1)
+        cand = jnp.where(jnp.isfinite(vsel), ids_l[cand_p], -1)
 
     # ---- local exact rescore from the shard's flat vector array
     gathered = vecs_l[jnp.clip(cand_p, 0, vecs_l.shape[0] - 1)]
