@@ -361,3 +361,80 @@ def test_fold_mult_knob():
     wide, narrow = recall(), recall(fold_mult=2)
     assert narrow >= wide - 0.1, (wide, narrow)
     assert wide >= 0.6, wide
+
+
+def test_exact_mode_full_probe_is_exact():
+    """scan_impl='exact' with every cluster probed must reproduce the
+    true kNN (no PQ estimate anywhere; bf16 rounding can only swap
+    near-ties, which the seeded gaps here don't produce)."""
+    np.random.seed(44)
+    for metric in ["euclidean", "angular"]:
+        X = np.random.randn(600, 12).astype(np.float32)
+        qs = np.random.randn(20, 12).astype(np.float32)
+        trus = np.asarray(knn_brute(qs, X, k=5, metric=metric))
+        ivf = IVF(metric, 8, FastPQ(2, rotate_dim=None),
+                  scan_impl="exact")
+        ivf.fit(X).build(X, n_probes=1)
+        got = np.asarray(ivf.query(qs, k=5, n_probes=8))
+        rec = np.mean([len(set(g.tolist()) & set(t.tolist())) / 5
+                       for g, t in zip(got, trus)])
+        assert rec >= 0.99, (metric, rec)
+
+
+def test_exact_mode_beats_pq_recall():
+    """At equal probes the exact scan's recall dominates the PQ
+    estimate + rescore path (it has no estimate noise)."""
+    np.random.seed(45)
+    X = np.random.randn(3000, 16).astype(np.float32)
+    qs = np.random.randn(40, 16).astype(np.float32)
+    trus = np.asarray(knn_brute(qs, X, k=10))
+
+    def run(scan_impl):
+        ivf = IVF("euclidean", 50, FastPQ(2, rotate_dim=None),
+                  scan_impl=scan_impl)
+        ivf.fit(X).build(X, n_probes=2)
+        g = np.asarray(ivf.query(qs, k=10, n_probes=5))
+        return np.mean([len(set(a.tolist()) & set(t.tolist())) / 10
+                        for a, t in zip(g, trus)])
+
+    exact, pq = run("exact"), run("xla")
+    assert exact >= pq - 0.02, (exact, pq)
+    assert exact >= 0.7, exact
+
+
+def test_exact_mode_dedup_and_stream():
+    """build_probes spill duplicates are removed in exact mode, and
+    query_stream agrees with query."""
+    np.random.seed(46)
+    X = np.random.randn(900, 12).astype(np.float32)
+    qs = np.random.randn(16, 12).astype(np.float32)
+    ivf = IVF("angular", 12, FastPQ(2, rotate_dim=None),
+              scan_impl="exact")
+    ivf.fit(X).build(X, n_probes=3)
+    got = np.asarray(ivf.query(qs, k=8, n_probes=6))
+    for row in got:
+        valid = row[row >= 0]
+        assert len(set(valid.tolist())) == len(valid), row
+    stream = np.asarray(ivf.query_stream(
+        np.stack([qs, qs]), k=8, n_probes=6))
+    np.testing.assert_array_equal(stream[0], got)
+    np.testing.assert_array_equal(stream[1], got)
+
+
+def test_exact_mode_save_load(tmp_path):
+    """csr_vecs are derived state: a reloaded exact index rebuilds them
+    and answers identically."""
+    from tinyknn_tpu.io import load_ivf, save_ivf
+    np.random.seed(47)
+    X = np.random.randn(500, 10).astype(np.float32)
+    qs = np.random.randn(10, 10).astype(np.float32)
+    ivf = IVF("euclidean", 10, FastPQ(2, rotate_dim=None),
+              scan_impl="exact")
+    ivf.fit(X).build(X, n_probes=2)
+    want = np.asarray(ivf.query(qs, k=5, n_probes=4))
+    path = tmp_path / "exact.npz"
+    save_ivf(path, ivf)
+    ivf2 = load_ivf(path)
+    assert ivf2.csr_vecs is not None
+    got = np.asarray(ivf2.query(qs, k=5, n_probes=4))
+    np.testing.assert_array_equal(want, got)

@@ -203,3 +203,63 @@ def test_scan_fold_csr_float_tables_exact():
     pb = np.where(enc_bf < 2**31 - 1, enc_bf & 0xFFFF, -1)
     np.testing.assert_array_equal(pi, pb)
     np.testing.assert_array_equal(vi, vb)
+
+
+def test_scan_exact_csr_matches_oracle():
+    """The exact-distance kernel's fold must hold, per (cluster, slot,
+    position-class), the bf16-rounded true squared distance of the
+    best point in that class — checked against a NumPy oracle."""
+    import jax.numpy as jnp
+    from tinyknn_tpu.models.ivf import (
+        _augment_data_csr, _augment_queries)
+    from tinyknn_tpu.ops.kernels import scan_exact_csr
+    from tinyknn_tpu.utils.grouping import (
+        csr_scan_map, invert_assignments_csr_tiled)
+
+    rng = np.random.default_rng(5)
+    n, d, C, qc, W = 700, 12, 5, 8, 2
+    X = rng.standard_normal((n, d)).astype(np.float32)
+    qs = rng.standard_normal((qc, d)).astype(np.float32)
+    assign = rng.integers(0, C, (n, 1)).astype(np.int32)
+    flat_ids, toff, counts = invert_assignments_csr_tiled(
+        assign, C, tile=128)
+    smap = csr_scan_map(toff, counts, max(1, len(flat_ids) // 128))
+    max_tiles = max(1, int(-(-counts.max() // 128)))
+
+    vecs = np.asarray(_augment_data_csr(jnp.asarray(X),
+                                        jnp.asarray(flat_ids)))
+    q_aug = np.asarray(_augment_queries(jnp.asarray(qs)))
+    qsel = np.broadcast_to(q_aug[None], (C,) + q_aug.shape)
+    enc = np.asarray(scan_exact_csr(
+        jnp.asarray(qsel), jnp.asarray(vecs),
+        *[jnp.asarray(m) for m in smap],
+        jnp.asarray(counts.astype(np.int32)),
+        fold_tiles=W, max_tiles=max_tiles, interpret=True))
+
+    S = W * 128
+    # oracle: true squared distances, folded per position class
+    for c in range(C):
+        L = int(counts[c])
+        rows = flat_ids[int(toff[c]) * 128:int(toff[c]) * 128 + L]
+        if L == 0:
+            assert (enc[c] == 2**31 - 1).all()
+            continue
+        pts = X[rows]                                  # (L, d)
+        d2 = ((qs[:, None, :] - pts[None, :, :]) ** 2).sum(-1)
+        for s in range(qc):
+            for j in range(S):
+                members = np.arange(L)[np.arange(L) % S == j]
+                e = enc[c, s, j]
+                if members.size == 0:
+                    assert e == 2**31 - 1
+                    continue
+                pos = e & 0xFFFF
+                val = ((np.uint32(e >> 16) << np.uint32(16))
+                       .view(np.float32))
+                assert pos in members
+                want = d2[s, members].min()
+                # kernel value is bf16(d2 computed from bf16 inputs)
+                assert abs(val - want) <= 0.02 * max(want, 1.0), (
+                    c, s, j, val, want)
+                # and the winning position's distance is the minimum
+                assert d2[s, pos] <= want * 1.02 + 1e-3

@@ -234,6 +234,12 @@ def load_ivf(path) -> IVF:
         ivf.scan_map = tuple(jnp.asarray(a) for a in csr_scan_map(
             tile_offsets, list_counts, csr_codes.shape[0]))
         ivf.data = jnp.asarray(data["data"])
+        # exact mode's raw bf16 tiles are derived state — rebuild from
+        # (data, csr_ids) rather than doubling the archive size
+        ivf.csr_vecs = None
+        if ivf.scan_impl == "exact":
+            from .models.ivf import _augment_data_csr
+            ivf.csr_vecs = _augment_data_csr(ivf.data, ivf.csr_ids)
         return ivf
 
 

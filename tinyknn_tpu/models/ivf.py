@@ -88,6 +88,14 @@ class IVF:
                  kmeans_iters=30, queries_per_cluster=None,
                  pass1_method="auto", scan_impl="auto",
                  fold_mult=FOLD_MULT):
+        """``scan_impl``: 'auto' (fused Pallas PQ scan on TPU when it
+        fits, else 'xla'), 'fused', 'xla', or 'exact' — a TPU-native
+        mode beyond the reference: raw bf16 vectors ride the CSR tiles
+        and the scan kernel computes TRUE squared distances on the MXU
+        (no PQ estimate, no rescore pass, pass_1 collapses to k). 4x
+        the memory of 4-bit codes at dims_per_block=2; exact-rank
+        quality up to bf16 input rounding. Opt-in because PQ is the
+        capacity story — see docs/PERFORMANCE.md."""
         assert metric in ["euclidean", "angular"]
         self.metric = metric
         self.pq = FastPQ(dims_per_block=2) if pq is None else pq
@@ -103,6 +111,7 @@ class IVF:
         self.all_centers = None
         self.active_centers = None
         self.csr_codes = None    # (T, B/2, 128) uint8 code tiles
+        self.csr_vecs = None     # (T, d_aug, 128) bf16 (exact mode)
         self.csr_ids = None      # (T * 128,) int32, -1 padding
         self.tile_offsets = None  # (C,) int32, list i starts at tile [i]
         self.max_tiles = None    # host int: longest list in tiles
@@ -208,6 +217,12 @@ class IVF:
                 1, int(-(-int(counts.max(initial=0)) // LANE_TILE)))
             self.scan_map = tuple(jnp.asarray(a) for a in csr_scan_map(
                 toff, counts, self.csr_codes.shape[0]))
+        if self.scan_impl == "exact":
+            assert self.max_tiles * LANE_TILE <= 1 << 16, (
+                "exact mode: longest list exceeds the 16-bit fold "
+                "position field; raise n_clusters")
+            with timer(verbose, "Storing raw vector tiles (exact)..."):
+                self.csr_vecs = _augment_data_csr(data, self.csr_ids)
         return self
 
     # ------------------------------------------------------------- query
@@ -240,8 +255,6 @@ class IVF:
         # distant cluster can contribute at most a few winners.
         k, n_probes, pass_1, r, r_tail, qc, qc0 = _query_params(
             self, q.shape[0], k, n_probes, pass_1)
-        if mode == "auto":
-            mode = "gather" if q.shape[0] * n_probes <= 64 else "bucket"
         method = _resolve_method(self.pass1_method)
         # fused CSR Pallas scan+select whenever the working set fits
         # VMEM and the int32 value+position encoding has headroom; the
@@ -254,6 +267,13 @@ class IVF:
                                        ((qc0, r), (qc, r_tail)),
                                        fold_mult)
                          else "xla")
+        if scan_impl == "exact":
+            assert self.csr_vecs is not None, (
+                "exact mode requires an index built with "
+                "scan_impl='exact' (raw vector tiles)")
+            mode = "bucket"  # the exact kernel has no gather variant
+        elif mode == "auto":
+            mode = "gather" if q.shape[0] * n_probes <= 64 else "bucket"
 
         if mode == "gather":
             out = _ivf_query_gather(
@@ -283,10 +303,12 @@ class IVF:
             attempts = 3 if check_drops else 1
             qc_full = round_up(q.shape[0] * n_probes, 8)
             qc0_full = round_up(q.shape[0], 8)
+            codes_arg = (self.csr_vecs if scan_impl == "exact"
+                         else self.csr_codes)
             for _attempt in range(attempts):
                 out, dropped = _ivf_query(
                     jnp.asarray(q), self.pq.center_blocks, self.pq.R,
-                    self.active_centers, self.csr_codes, self.csr_ids,
+                    self.active_centers, codes_arg, self.csr_ids,
                     self.tile_offsets, self.list_counts, self.scan_map,
                     self.data,
                     dpb=self.pq.dims_per_block, metric=self.metric,
@@ -328,6 +350,63 @@ def _map_labels(labels, out):
         return out
     out = np.asarray(out)
     return np.where(out >= 0, labels[np.maximum(out, 0)], np.int64(-1))
+
+
+def _aug_dim(d: int) -> int:
+    """Sublane-padded width of the augmented exact-scan vectors:
+    [x (d) | norm_hi | norm_lo | 1] padded to the bf16 sublane tile."""
+    return round_up(d + 3, 16)
+
+
+@jax.jit
+def _augment_data_csr(data, flat_ids):
+    """Raw vectors -> the exact-scan kernel's CSR tile layout.
+
+    data: f32[n, d] (normalized already for angular); flat_ids:
+    int32[T * 128] CSR row ids (padding reuses row 0, masked by
+    counts). Returns bf16[T, d_aug, 128]: points on lanes, augmented
+    dims on sublanes — [x, hi(||x||^2), lo(||x||^2), 1, 0...]. The
+    norm rides as a two-term bf16 hi/lo split (~16 significant bits);
+    with the query side's [-2q, 1, 1, ||q||^2] the kernel's single
+    matmul yields the true squared distance (>= 0, so the IEEE-bit
+    fold encoding stays order-preserving)."""
+    d = data.shape[1]
+    rows = data[jnp.maximum(flat_ids, 0)]             # (T*128, d) f32
+    xn = jnp.einsum("nd,nd->n", rows, rows)
+    hi = xn.astype(jnp.bfloat16).astype(jnp.float32)
+    aug = jnp.zeros((rows.shape[0], _aug_dim(d)), jnp.float32)
+    aug = aug.at[:, :d].set(rows)
+    aug = aug.at[:, d].set(hi)
+    aug = aug.at[:, d + 1].set(xn - hi)
+    aug = aug.at[:, d + 2].set(1.0)
+    T = flat_ids.shape[0] // LANE_TILE
+    return (aug.astype(jnp.bfloat16)
+            .reshape(T, LANE_TILE, -1).transpose(0, 2, 1))
+
+
+def _augment_queries(q):
+    """f32[Q, d] -> bf16[Q, d_aug] in the exact-scan query layout
+    [-2q, 1, 1, ||q||^2, 0...]. ||q||^2 rides in one bf16 slot — its
+    rounding error is constant per query, so candidate *ranking* is
+    unaffected (unlike the per-point norms, which get the hi/lo
+    split)."""
+    d = q.shape[1]
+    qn = jnp.einsum("qd,qd->q", q, q)
+    aug = jnp.zeros((q.shape[0], _aug_dim(d)), jnp.float32)
+    aug = aug.at[:, :d].set(-2.0 * q)
+    aug = aug.at[:, d].set(1.0)
+    aug = aug.at[:, d + 1].set(1.0)
+    aug = aug.at[:, d + 2].set(qn)
+    return aug.astype(jnp.bfloat16)
+
+
+def _decode_enc_vals(enc_sel):
+    """Encoded bf16-bits fold entries -> f32 distances (inf = empty)."""
+    bits = jax.lax.shift_right_logical(
+        enc_sel, jnp.int32(16)).astype(jnp.uint16)
+    vals = jax.lax.bitcast_convert_type(
+        bits, jnp.bfloat16).astype(jnp.float32)
+    return jnp.where(enc_sel < jnp.int32(ENC_INVALID), vals, jnp.inf)
 
 
 def _fold_tiles(r: int, max_tiles: int, mult: int = FOLD_MULT) -> int:
@@ -380,11 +459,20 @@ def _query_params(self, Q, k, n_probes, pass_1):
     n_probes = min(n_probes, n_active)
     k = min(k, int(self.data.shape[0]))
     cap = self.max_tiles * LANE_TILE
-    if pass_1 is None:
-        pass_1 = (n_probes + 1) * k + 1
-    r = min(pass_1, cap)
-    r_tail = min(pass_1, cap, max(3 * k, 16))
-    pass_1 = min(pass_1, r + (n_probes - 1) * r_tail)
+    if self.scan_impl == "exact":
+        # exact distances need no estimate-noise depth: the candidate
+        # budget collapses to ~k (+ fold headroom via _fold_tiles);
+        # a user pass_1 only widens the fold against slot collisions.
+        base = pass_1 if pass_1 is not None else 4 * k
+        r = min(cap, max(base, 2 * k, 32))
+        r_tail = min(cap, max(base // 2, k, 16))
+        pass_1 = k
+    else:
+        if pass_1 is None:
+            pass_1 = (n_probes + 1) * k + 1
+        r = min(pass_1, cap)
+        r_tail = min(pass_1, cap, max(3 * k, 16))
+        pass_1 = min(pass_1, r + (n_probes - 1) * r_tail)
     qc = self.queries_per_cluster or max(
         8, round_up(5 * Q * n_probes // (2 * max(n_active, 1)) + 1, 8))
     qc0 = self.queries_per_cluster or default_qc0(Q, n_active)
@@ -425,9 +513,11 @@ class _StreamMixin:
                                        ((qc0, r), (qc, r_tail)),
                                        fold_mult)
                          else "xla")
+        codes_arg = (self.csr_vecs if scan_impl == "exact"
+                     else self.csr_codes)
         out, dropped = _ivf_query_stream(
             batches, self.pq.center_blocks, self.pq.R,
-            self.active_centers, self.csr_codes, self.csr_ids,
+            self.active_centers, codes_arg, self.csr_ids,
             self.tile_offsets, self.list_counts, self.scan_map,
             self.data, dpb=self.pq.dims_per_block, metric=self.metric,
             k=k, n_probes=n_probes, pass_1=pass_1, r=r, r_tail=r_tail,
@@ -519,15 +609,25 @@ def _bucket_scan_round(probe_sub, tables_flat, csr_codes, csr_ids,
     slot_orig = jnp.zeros((Q * Ps,), jnp.int32).at[order].set(slot)
     slot_orig = slot_orig.reshape(Q, Ps)
 
-    if scan_impl == "fused":
-        from ..ops.kernels import scan_fold_csr
-        # tables already in the kernel's tiled layout (see _ivf_query)
-        t_sel = tables_flat[jnp.maximum(qgrid, 0)]    # (C, qc, M) int8
-        enc = scan_fold_csr(
-            t_sel, csr_codes, *scan_map, list_counts,
-            fold_tiles=_fold_tiles(r, max_tiles, fold_mult),
-            max_tiles=max_tiles,
-            interpret=jax.default_backend() != "tpu")  # (C, qc, S)
+    if scan_impl in ("fused", "exact"):
+        # tables already in the kernel's tiled layout (see _ivf_query);
+        # in exact mode tables_flat is the augmented bf16 queries and
+        # csr_codes the raw bf16 vector tiles
+        t_sel = tables_flat[jnp.maximum(qgrid, 0)]    # (C, qc, M)
+        if scan_impl == "exact":
+            from ..ops.kernels import scan_exact_csr
+            enc = scan_exact_csr(
+                t_sel, csr_codes, *scan_map, list_counts,
+                fold_tiles=_fold_tiles(r, max_tiles, fold_mult),
+                max_tiles=max_tiles,
+                interpret=jax.default_backend() != "tpu")
+        else:
+            from ..ops.kernels import scan_fold_csr
+            enc = scan_fold_csr(
+                t_sel, csr_codes, *scan_map, list_counts,
+                fold_tiles=_fold_tiles(r, max_tiles, fold_mult),
+                max_tiles=max_tiles,
+                interpret=jax.default_backend() != "tpu")  # (C, qc, S)
         S = enc.shape[2]
         enc_flat = enc.reshape(C * qc, S)
     else:
@@ -580,7 +680,7 @@ def _bucket_scan_round(probe_sub, tables_flat, csr_codes, csr_ids,
     # (Q, P, qc) shapes — flattening sidesteps it and is faster anyway
     pair_idx = probe_sub * qc + sl                    # (Q, Ps)
     dropped = jnp.sum((slot >= qc) & (sorted_c < C))
-    if scan_impl == "fused":
+    if scan_impl in ("fused", "exact"):
         my_enc = enc_flat[pair_idx]                   # (Q, Ps, S)
         my_enc = jnp.where(valid_pair[:, :, None], my_enc,
                            jnp.int32(ENC_INVALID))
@@ -607,21 +707,27 @@ def _select_pool_enc(pools, bases, p1: int, method: str, col_bits: int,
     materializes decoded values or row indices (round 2 spent ~40 of
     84 ms at P=10/Q=10k on exactly those two full-width passes).
 
-    With method='approx' the int pool is converted to f32 for
-    approx_max_k; f32 rounding can blur the lowest ~2 position bits of
-    wide encodings, which only reorders near-ties — the survivors'
-    *exact* encodings are re-gathered for decoding. 'exact' runs
-    lax.top_k on the int32 pool directly.
+    Selection always runs lax.top_k on the int32 pool directly —
+    measured on v5e at (Q=10k, n=4608, p1=444) the int32 top_k takes
+    41 ms where approx_max_k on the f32-converted pool takes 90 ms
+    (both lower to a per-row variadic sort at this k/n ratio; the f32
+    path pays conversion + wider compares on top), so ``method`` is
+    accepted for signature parity with the XLA path but does not
+    change the kernel here. An O(n) tournament take-all alternative
+    (3.7 ms) was measured and REJECTED: fold-slot collisions drop
+    deep-ranked true neighbors (GloVe P=10 recall 0.84 at G=2048 vs
+    0.969 — the pass-1 pool is wide precisely because true neighbors
+    often sit at estimate rank 100-400).
 
-    Returns (cand ids int32[Q, p1] (-1 = invalid), rows int32[Q, p1]).
+    Returns (cand ids int32[Q, p1] (-1 = invalid), rows int32[Q, p1],
+    enc_sel int32[Q, p1] — the survivors' exact encodings, so exact
+    mode can decode distances without re-touching the pool).
     """
+    del method
     Q = pools[0].shape[0]
     pool = jnp.concatenate([p.reshape(Q, -1) for p in pools], axis=1)
     base = jnp.concatenate(bases, axis=1)             # (Q, P)
-    if method == "approx":
-        _, top_pos = jax.lax.approx_max_k(-pool.astype(jnp.float32), p1)
-    else:
-        _, top_pos = jax.lax.top_k(-pool, p1)
+    _, top_pos = jax.lax.top_k(-pool, p1)
     enc_sel = jnp.take_along_axis(pool, top_pos, axis=1)  # (Q, p1)
     pos = enc_sel & jnp.int32((1 << col_bits) - 1)
     S0 = pools[0].shape[1] * pools[0].shape[2]
@@ -638,7 +744,7 @@ def _select_pool_enc(pools, bases, p1: int, method: str, col_bits: int,
     valid = enc_sel < jnp.int32(ENC_INVALID)
     rows = jnp.where(valid, rows, 0)
     cand = jnp.where(valid, csr_ids[rows], -1)
-    return cand, rows
+    return cand, rows, enc_sel
 
 
 def default_qc0(Q: int, C: int) -> int:
@@ -683,17 +789,22 @@ def _ivf_query(q, center_blocks, R, active_centers, csr_codes, csr_ids,
 
     if metric == "angular":
         q = q / jnp.maximum(jnp.linalg.norm(q, axis=1, keepdims=True), 1e-12)
-    # distance tables fused into the query step (one dispatch end-to-end)
-    tables = _build_tables(q, center_blocks, R, dpb, True,
-                           table_dtype).tables
-    B = tables.shape[1]
-    tables_flat = tables.reshape(Q, B * 16)
-    if scan_impl == "fused":
-        from ..ops.kernels import permute_tables_csr
-        tables_flat = permute_tables_csr(tables_flat, B)
-        if tables_flat.dtype == jnp.float32:
-            # the float fold encodes bf16 value bits; pre-round
-            tables_flat = tables_flat.astype(jnp.bfloat16)
+    if scan_impl == "exact":
+        # no PQ tables: the kernel consumes augmented raw queries
+        tables_flat = _augment_queries(q)
+    else:
+        # distance tables fused into the query step (one dispatch
+        # end-to-end)
+        tables = _build_tables(q, center_blocks, R, dpb, True,
+                               table_dtype).tables
+        B = tables.shape[1]
+        tables_flat = tables.reshape(Q, B * 16)
+        if scan_impl == "fused":
+            from ..ops.kernels import permute_tables_csr
+            tables_flat = permute_tables_csr(tables_flat, B)
+            if tables_flat.dtype == jnp.float32:
+                # the float fold encodes bf16 value bits; pre-round
+                tables_flat = tables_flat.astype(jnp.bfloat16)
 
     # -- 1. probe selection (exact, on MXU; an approx_max_k variant
     # was measured recall- and QPS-neutral — the front cost is the
@@ -733,17 +844,18 @@ def _ivf_query(q, center_blocks, R, active_centers, csr_codes, csr_ids,
     # removed there on a k*f-wide sliver (the reference dedups inside
     # its heap, tinyknn/_fast_pq.pyx:285-287).
     f = min(build_probes, n_probes)
-    if scan_impl == "fused":
+    if scan_impl in ("fused", "exact"):
         # selection runs directly on the encoded int32 fold buffers;
         # only the p1 survivors are ever decoded (see _select_pool_enc)
         pools = [v0] + ([v1] if P > 1 else [])
         bases = [rows0] + ([rows1] if P > 1 else [])
         width = sum(p.shape[1] * p.shape[2] for p in pools)
         p1 = min(f * pass_1, width)
-        col_bits = (16 if tables_flat.dtype != jnp.int8 else
+        col_bits = (16 if scan_impl == "exact"
+                    or tables_flat.dtype != jnp.int8 else
                     max(1, (max_tiles * LANE_TILE - 1).bit_length()))
-        cand, _ = _select_pool_enc(pools, bases, p1, method, col_bits,
-                                   csr_ids)
+        cand, _, enc_sel = _select_pool_enc(pools, bases, p1, method,
+                                            col_bits, csr_ids)
     else:
         flat_vals = jnp.concatenate(
             [v0.reshape(Q, -1)] + ([v1.reshape(Q, -1)] if P > 1 else []),
@@ -756,11 +868,16 @@ def _ivf_query(q, center_blocks, R, active_centers, csr_codes, csr_ids,
         rows_sel = jnp.take_along_axis(flat_rows, top_pos, axis=1)
         cand = jnp.where(jnp.isfinite(vsel), csr_ids[rows_sel], -1)
 
-    # -- 5. exact rescore (+ tiny post-rescore dedup when f > 1)
-    gathered = data[jnp.maximum(cand, 0)]             # (Q, p1, d)
-    diff = gathered - q[:, None, :]
-    d2 = jnp.einsum("qrd,qrd->qr", diff, diff)
-    d2 = jnp.where(cand >= 0, d2, jnp.inf)
+    # -- 5. exact rescore (+ tiny post-rescore dedup when f > 1).
+    # In exact mode the scan already computed true distances — the
+    # survivors' encodings decode straight to them, no gather pass.
+    if scan_impl == "exact":
+        d2 = _decode_enc_vals(enc_sel)
+    else:
+        gathered = data[jnp.maximum(cand, 0)]         # (Q, p1, d)
+        diff = gathered - q[:, None, :]
+        d2 = jnp.einsum("qrd,qrd->qr", diff, diff)
+        d2 = jnp.where(cand >= 0, d2, jnp.inf)
     if f > 1:
         k2 = min(k * f, p1)
         _, best = jax.lax.top_k(-d2, k2)

@@ -635,6 +635,117 @@ def scan_fold_csr(tables_sel, codes_tiled, scan_cl, scan_tile,
     return enc
 
 
+def _scan_exact_csr_kernel(cl_ref, tile_ref, tpos_ref, last_ref,
+                           counts_ref, qsel_ref, vecs_ref, enc_ref,
+                           folded, *, W: int, tps: int):
+    """Exact-distance fold-emit scan over raw bf16 vector tiles.
+
+    The PQ kernels above exist because the reference is CPU-memory-
+    bound; on TPU the MXU makes *exact* distances nearly free at
+    HBM-resident corpus sizes, so this kernel replaces estimate +
+    rescore entirely: per list tile, est = q_aug @ vec_tile is the true
+    squared distance (vectors are augmented with [norm_hi, norm_lo, 1]
+    rows and queries with [-2q, 1, 1, ||q||^2], so the single matmul
+    yields ||q||^2 + ||x||^2 - 2qx >= 0 exactly up to bf16 input
+    rounding), encoded as bf16_bits << 16 | position and min-folded.
+    No rescore pass or wide top-k exists downstream — the final top-k
+    selects directly on the encodings (replaces the reference's
+    scan+heap+rescore, tinyknn/ivf.py:135-163, at exact-rank quality).
+    """
+    t = pl.program_id(0)
+    tp = tpos_ref[t]
+    count = counts_ref[cl_ref[t]]
+    S = W * LANE_TILE
+    qc = folded.shape[0]
+
+    @pl.when(tp == 0)
+    def _():
+        folded[...] = jnp.full((qc, S), _ENC_BIG, jnp.int32)
+
+    for i in range(tps):                          # static unroll
+        vecs = vecs_ref[i]                        # (d_aug, 128) bf16
+        est = jax.lax.dot_general(
+            qsel_ref[0], vecs, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)   # (qc, 128) f32
+        # bf16 input rounding can push a ~0 distance slightly negative;
+        # the IEEE-bit encoding needs >= 0 for order preservation
+        est = jnp.maximum(est, 0.0)
+        bits = pltpu.bitcast(est.astype(jnp.bfloat16),
+                             jnp.int16).astype(jnp.int32)
+        val_part = jax.lax.shift_left(bits, jnp.int32(16))
+        lane = jax.lax.broadcasted_iota(jnp.int32, val_part.shape, 1)
+        ti = tp * tps + i
+        pos = ti * LANE_TILE + lane               # position within list
+        enc = val_part | pos
+        enc = jnp.where(pos < count, enc, _ENC_BIG)
+        seg = pl.multiple_of(jax.lax.rem(ti, W) * LANE_TILE, LANE_TILE)
+        folded[:, pl.ds(seg, LANE_TILE)] = jnp.minimum(
+            folded[:, pl.ds(seg, LANE_TILE)], enc)
+
+    @pl.when(last_ref[t] == 1)
+    def _():
+        enc_ref[0] = folded[...]
+
+
+@partial(jax.jit, static_argnames=("fold_tiles", "max_tiles",
+                                   "tiles_per_step", "interpret"))
+def scan_exact_csr(q_sel, vecs_tiled, scan_cl, scan_tile,
+                   scan_tpos, scan_last, counts,
+                   fold_tiles: int = 2, max_tiles: int = 1,
+                   tiles_per_step: int = 1, interpret: bool = False):
+    """Ragged exact-distance scan over CSR-tiled raw bf16 vectors.
+
+    q_sel: bf16[C, qc, d_aug] bucketed augmented queries
+        ([-2q, 1, 1, ||q||^2] zero-padded to d_aug);
+    vecs_tiled: bf16[T, d_aug, 128] augmented vector tiles
+        ([x, norm_hi, norm_lo, 1] on sublanes, points on lanes);
+    scan maps / counts: as scan_fold_csr.
+    Returns enc int32[C, qc, S], S = fold_tiles * 128, encoded
+    ``bf16_bits(dist^2) << 16 | position`` min-fold (2^31-1 = empty).
+    """
+    C, qc, d_aug = q_sel.shape
+    assert vecs_tiled.shape[1] == d_aug
+    assert vecs_tiled.shape[2] == LANE_TILE
+    assert max_tiles * LANE_TILE <= 1 << 16, (
+        "list too long for 16-bit fold positions; raise n_clusters")
+    W = fold_tiles
+    tps = tiles_per_step
+    assert vecs_tiled.shape[0] % tps == 0
+    G = scan_cl.shape[0]
+    S = W * LANE_TILE
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=5,
+        grid=(G,),
+        in_specs=[
+            pl.BlockSpec((1, qc, d_aug),
+                         lambda t, cl, ti, tp, lst, cnt: (cl[t], 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tps, d_aug, LANE_TILE),
+                         lambda t, cl, ti, tp, lst, cnt: (ti[t], 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, qc, S),
+                         lambda t, cl, ti, tp, lst, cnt: (cl[t], 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((qc, S), jnp.int32),
+        ],
+    )
+    enc, = pl.pallas_call(
+        partial(_scan_exact_csr_kernel, W=W, tps=tps),
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((C, qc, S), jnp.int32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 2**20),
+        interpret=interpret,
+    )(scan_cl.astype(jnp.int32), scan_tile.astype(jnp.int32),
+      scan_tpos.astype(jnp.int32), scan_last.astype(jnp.int32),
+      counts.astype(jnp.int32), q_sel, vecs_tiled)
+    return enc
+
+
 @partial(jax.jit, static_argnames=("r", "fold_tiles", "max_tiles",
                                    "tiles_per_step", "interpret"))
 def scan_select_csr(tables_sel, codes_tiled, scan_cl, scan_tile,

@@ -56,6 +56,9 @@ class ShardedIVF(IVF):
         the query batch — pure data parallelism composed on top of the
         cluster sharding; collectives still ride only ``axis``."""
         super().__init__(metric, n_clusters, pq, **kw)
+        assert self.scan_impl != "exact", (
+            "scan_impl='exact' is single-chip for now; shard with the "
+            "PQ scan ('auto'/'fused'/'xla') or shard queries only")
         self.mesh = mesh if mesh is not None else make_mesh(axis=axis)
         self.axis = axis
         self.query_axis = query_axis
@@ -464,8 +467,8 @@ def _shard_local_query(q, tables, centers, codes_l, ids_l, toff_l,
         p1_eff = min(f * pass_1, width)
         col_bits = (16 if tables_flat.dtype != jnp.int8 else
                     max(1, (max_tiles * 128 - 1).bit_length()))
-        cand, cand_p = _select_pool_enc(pools, bases, p1_eff, method,
-                                        col_bits, ids_l)
+        cand, cand_p, _ = _select_pool_enc(pools, bases, p1_eff, method,
+                                           col_bits, ids_l)
     else:
         ok0 = is_local[:, :1, None]
         flat_vals = jnp.where(ok0, v0, jnp.inf).reshape(Q, -1)
