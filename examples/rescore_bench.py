@@ -112,8 +112,8 @@ p1 = min(pass_1, n)
 print(f"pool width n={n}, p1={p1}", flush=True)
 
 # survivors of the current (approx) selection, for rescore timing
-cand, rows = ivfmod._select_pool_enc(pools, bases, p1, "approx",
-                                     col_bits, ivf.csr_ids)
+cand, rows, _enc = ivfmod._select_pool_enc(pools, bases, p1, "approx",
+                                           col_bits, ivf.csr_ids)
 jax.block_until_ready(cand)
 
 data_dev = ivf.data

@@ -180,6 +180,43 @@ def sel_topk_int(acc, pool, base, ids):
     return jnp.sum(neg) + jnp.sum(top_pos)
 
 
+def sel_bitcast(acc, pool, base, ids):
+    """approx_max_k over the BITCAST pool: encodings are >= 0, so the
+    IEEE f32 view of the int32 bits is order-identical — exact-order
+    selection on the fast PartialReduce lowering, and the returned
+    values bitcast straight back (no survivor re-gather)."""
+    p = pool.at[0, 0].set(acc)
+    f = jax.lax.bitcast_convert_type(p, jnp.float32)
+    f = jnp.where(p == jnp.int32(ivfmod.ENC_INVALID), jnp.inf, f)
+    negv, top_pos = jax.lax.approx_max_k(-f, p1)
+    enc_sel = jax.lax.bitcast_convert_type(-negv, jnp.int32)
+    return jnp.sum(enc_sel) + jnp.sum(top_pos)
+
+
+def sel_bitcast_decode(acc, pool, base, ids):
+    """The full stage: bitcast approx select + position decode + id
+    gather (what _select_pool_enc must produce)."""
+    p = pool.at[0, 0].set(acc)
+    f = jax.lax.bitcast_convert_type(p, jnp.float32)
+    f = jnp.where(p == jnp.int32(ivfmod.ENC_INVALID), jnp.inf, f)
+    negv, top_pos = jax.lax.approx_max_k(-f, p1)
+    enc_sel = jax.lax.bitcast_convert_type(-negv, jnp.int32)
+    valid = enc_sel < jnp.int32(0x7F800000)
+    pos = enc_sel & jnp.int32((1 << col_bits) - 1)
+    S0 = pools[0].shape[1] * pools[0].shape[2]
+    if len(pools) > 1:
+        St = pools[1].shape[2]
+        probe_of = jnp.where(top_pos < S0, 0,
+                             1 + (top_pos - S0) // St).astype(jnp.int32)
+    else:
+        probe_of = jnp.zeros_like(top_pos)
+    rowbase = jnp.take_along_axis(base, probe_of, axis=1)
+    rows = jnp.minimum(rowbase + pos, ids.shape[0] - 1)
+    rows = jnp.where(valid, rows, 0)
+    cand = jnp.where(valid, ids[rows], -1)
+    return jnp.sum(cand) + jnp.sum(rows)
+
+
 def tournament(p, G):
     """O(n) group-min (value, pool-index) reduction to G slots."""
     nq_, n_ = p.shape
@@ -217,6 +254,10 @@ timed(f"select approx_max_k f32 (n={n}, k={p1})", sel_approx,
       pool, base, csr_ids)
 timed(f"select top_k int32    (n={n}, k={p1})", sel_topk_int,
       pool, base, csr_ids)
+timed(f"select bitcast approx (n={n}, k={p1})", sel_bitcast,
+      pool, base, csr_ids)
+timed(f"select bitcast + full decode (k={p1})", sel_bitcast_decode,
+      pool, base, csr_ids)
 G2 = min(n, max(128, -(-2 * p1 // 128) * 128))
 G4 = min(n, max(128, -(-4 * p1 // 128) * 128))
 timed(f"tournament->G={G4} + top_k {p1}",
@@ -241,7 +282,7 @@ def mk_rescore(width):
     return resc
 
 
-cand, _rows = ivfmod._select_pool_enc(pools, bases, min(2 * p1, n),
+cand, _rows, _enc = ivfmod._select_pool_enc(pools, bases, min(2 * p1, n),
                                       "approx", col_bits, csr_ids)
 jax.block_until_ready(cand)
 timed(f"rescore width {p1}", mk_rescore(p1), cand, q, data_dev)

@@ -96,26 +96,30 @@ if P > 1:
     bases.append(base1)
 col_bits = max(1, (cap - 1).bit_length())
 p1 = min(pass_1, sum(p.shape[1] * p.shape[2] for p in pools))
-cand, _rows = ivfmod._select_pool_enc(pools, bases, p1, "approx",
-                                      col_bits, ivf.csr_ids)
+cand, _rows, _enc = ivfmod._select_pool_enc(pools, bases, p1, "approx",
+                                            col_bits, ivf.csr_ids)
 jax.block_until_ready(cand)
 
 data_dev = ivf.data
 
 
-def timed(name, body, n1, n2, _retries=2):
-    """Marginal per-iteration time of ``body(acc) -> acc`` (int32)."""
+def timed(name, body, n1, n2, *arrs, _retries=2):
+    """Marginal per-iteration time of ``body(acc, *arrs) -> acc``.
+
+    Big arrays MUST ride in ``arrs`` (jit arguments): a closure embeds
+    them as constants in the remote-compile payload, and the raw-data
+    array alone is 473 MB -> HTTP 413 from the compile service."""
     def loop(n):
         @jax.jit
-        def run(x0):
+        def run(x0, *a):
             return jax.lax.fori_loop(
-                0, n, lambda i, acc: body(acc) + i, x0)
+                0, n, lambda i, acc: body(acc, *a) + i, x0)
         return run
     run1, run2 = loop(n1), loop(n2)
     for attempt in range(_retries + 1):
         try:
-            jax.block_until_ready(run1(jnp.int32(1)))
-            jax.block_until_ready(run2(jnp.int32(1)))
+            jax.block_until_ready(run1(jnp.int32(1), *arrs))
+            jax.block_until_ready(run2(jnp.int32(1), *arrs))
             break
         except Exception as e:          # flaky remote compile service
             if attempt == _retries:
@@ -125,10 +129,10 @@ def timed(name, body, n1, n2, _retries=2):
     t1 = t2 = float("inf")
     for _ in range(3):
         t0 = time.time()
-        jax.block_until_ready(run1(jnp.int32(1)))
+        jax.block_until_ready(run1(jnp.int32(1), *arrs))
         t1 = min(t1, time.time() - t0)
         t0 = time.time()
-        jax.block_until_ready(run2(jnp.int32(1)))
+        jax.block_until_ready(run2(jnp.int32(1), *arrs))
         t2 = min(t2, time.time() - t0)
     ms = (t2 - t1) / (n2 - n1) * 1000
     print(f"{name:<42} {ms:8.2f} ms", flush=True)
@@ -172,15 +176,15 @@ def mk_scan(sub, qc_r, r_r):
 # S5: global encoded select + survivor decode
 def s_select(acc):
     p0 = pools[0].at[0, 0, 0].set(acc)
-    cand2, rows2 = ivfmod._select_pool_enc(
+    cand2, rows2, _ = ivfmod._select_pool_enc(
         [p0] + pools[1:], bases, p1, "approx", col_bits, ivf.csr_ids)
     return jnp.sum(cand2) + jnp.sum(rows2)
 
-# S6: exact rescore + final top-k
-def s_rescore(acc):
-    c2 = cand.at[0, 0].set(acc % 7)
-    gathered = data_dev[jnp.maximum(c2, 0)]
-    diff = gathered - q[:, None, :]
+# S6: exact rescore + final top-k (data/cand ride as jit arguments)
+def s_rescore(acc, cand_a, q_a, data_a):
+    c2 = cand_a.at[0, 0].set(acc % 7)
+    gathered = data_a[jnp.maximum(c2, 0)]
+    diff = gathered - q_a[:, None, :]
     d2 = jnp.einsum("qrd,qrd->qr", diff, diff)
     d2 = jnp.where(c2 >= 0, d2, jnp.inf)
     _, best = jax.lax.top_k(-d2, k)
@@ -197,5 +201,6 @@ if P > 1:
     total += timed(f"tail scan (qc={qc}, W={ivfmod._fold_tiles(r_tail, ivf.max_tiles, fold_mult)})",
                    mk_scan(probe_sel[:, 1:], qc, r_tail), N1, N2)
 total += timed(f"encoded select+decode (p1={p1})", s_select, N1, N2)
-total += timed(f"exact rescore (p1={p1})", s_rescore, N1, N2)
+total += timed(f"exact rescore (p1={p1})", s_rescore, N1, N2,
+               cand, q, data_dev)
 print(f"{'TOTAL (sum of stages)':<42} {total:8.2f} ms", flush=True)

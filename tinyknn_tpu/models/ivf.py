@@ -707,13 +707,18 @@ def _select_pool_enc(pools, bases, p1: int, method: str, col_bits: int,
     materializes decoded values or row indices (round 2 spent ~40 of
     84 ms at P=10/Q=10k on exactly those two full-width passes).
 
-    Selection always runs lax.top_k on the int32 pool directly —
-    measured on v5e at (Q=10k, n=4608, p1=444) the int32 top_k takes
-    41 ms where approx_max_k on the f32-converted pool takes 90 ms
-    (both lower to a per-row variadic sort at this k/n ratio; the f32
-    path pays conversion + wider compares on top), so ``method`` is
-    accepted for signature parity with the XLA path but does not
-    change the kernel here. An O(n) tournament take-all alternative
+    ``method='approx'`` (the TPU default) selects with approx_max_k on
+    the BITCAST pool: encodings are non-negative, so the IEEE-f32 view
+    of the int32 bits is order-identical to the ints — the fast
+    PartialReduce lowering with zero precision loss, and the returned
+    values bitcast straight back to exact encodings (no survivor
+    re-gather). Measured isolated at (Q=10k, n=4608, p1=444) on v5e:
+    bitcast approx 35 ms, int32 top_k ('exact') 41 ms, value-converted
+    f32 approx 90 ms. The pool is materialized through an
+    optimization_barrier first: without it XLA fuses the (C, qc, S) ->
+    (Q, P, S) per-pair fold-row gather into the selection, re-reading
+    the gather per sort pass (round-3 ablation measured the fused form
+    at 163 ms vs 41 isolated). An O(n) tournament take-all alternative
     (3.7 ms) was measured and REJECTED: fold-slot collisions drop
     deep-ranked true neighbors (GloVe P=10 recall 0.84 at G=2048 vs
     0.969 — the pass-1 pool is wide precisely because true neighbors
@@ -723,12 +728,26 @@ def _select_pool_enc(pools, bases, p1: int, method: str, col_bits: int,
     enc_sel int32[Q, p1] — the survivors' exact encodings, so exact
     mode can decode distances without re-touching the pool).
     """
-    del method
     Q = pools[0].shape[0]
     pool = jnp.concatenate([p.reshape(Q, -1) for p in pools], axis=1)
+    pool = jax.lax.optimization_barrier(pool)
     base = jnp.concatenate(bases, axis=1)             # (Q, P)
-    _, top_pos = jax.lax.top_k(-pool, p1)
-    enc_sel = jnp.take_along_axis(pool, top_pos, axis=1)  # (Q, p1)
+    if method == "approx":
+        f = jax.lax.bitcast_convert_type(pool, jnp.float32)
+        # bits >= 0x7F800000 view as inf/NaN and would break the sort
+        # order; clamp them to +inf. Only the invalid sentinel and the
+        # top ~0.4% of the encoding range (est within 2^-8 of the
+        # headroom guard's ceiling — unreachable for mean-normalized
+        # int8 tables) land here.
+        f = jnp.where(pool >= jnp.int32(0x7F800000), jnp.inf, f)
+        negv, top_pos = jax.lax.approx_max_k(-f, p1)
+        enc_sel = jax.lax.bitcast_convert_type(-negv, jnp.int32)
+        # selected empties come back as +inf bits; restore the sentinel
+        enc_sel = jnp.where(enc_sel >= jnp.int32(0x7F800000),
+                            jnp.int32(ENC_INVALID), enc_sel)
+    else:
+        _, top_pos = jax.lax.top_k(-pool, p1)
+        enc_sel = jnp.take_along_axis(pool, top_pos, axis=1)  # (Q, p1)
     pos = enc_sel & jnp.int32((1 << col_bits) - 1)
     S0 = pools[0].shape[1] * pools[0].shape[2]
     if len(pools) > 1:
