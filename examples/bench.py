@@ -42,6 +42,14 @@ parser.add_argument("--pass1-mult", type=float, default=4.0,
                          "with the pool); on TPU a wider exact rescore "
                          "is nearly free and buys large recall at "
                          "fixed n_probes")
+parser.add_argument("--scan-impl", default="auto",
+                    choices=["auto", "fused", "xla", "exact"],
+                    help="list-scan engine; 'exact' stores raw bf16 "
+                         "vector tiles and computes true distances in "
+                         "the scan (thin f32 rescore only)")
+parser.add_argument("--rescore-rows", action="store_true",
+                    help="store a CSR-ordered raw copy so the rescore "
+                         "gathers by flat row (deferred id decode)")
 parser.add_argument("--sustained-reps", type=int, default=4,
                     help="Batches per dispatch for the sustained QPS "
                          "figure (0 disables; per-call round-trip QPS "
@@ -95,7 +103,8 @@ else:
         np.save(trus_file, true_neighbours)
 
 pq = FastPQ(dims_per_block)
-ivf = IVF(metric, num_clusters, pq)
+ivf = IVF(metric, num_clusters, pq, scan_impl=args.scan_impl,
+          rescore_rows=args.rescore_rows)
 fitted = False
 fit_time = 0.0
 
@@ -123,6 +132,20 @@ for build_probes in range(1, args.max_build_probes):
         from tinyknn_tpu.io import load_ivf
         with utils.timer(True, f"Loading built index from {ivf_file}"):
             ivf = load_ivf(ivf_file)
+        if ivf.scan_impl != args.scan_impl:
+            # archives are scan-engine-independent apart from exact
+            # mode's raw tiles, which are derived state
+            ivf.scan_impl = args.scan_impl
+            if args.scan_impl == "exact" and ivf.csr_vecs is None:
+                from tinyknn_tpu.models.ivf import _augment_data_csr
+                with utils.timer(True, "Building raw vector tiles..."):
+                    ivf.csr_vecs = _augment_data_csr(
+                        ivf.data, ivf.csr_ids)
+        if args.rescore_rows and ivf.csr_raw is None:
+            import jax.numpy as _jnp
+            ivf.rescore_rows = True
+            with utils.timer(True, "Building CSR-ordered raw rows..."):
+                ivf.csr_raw = ivf.data[_jnp.maximum(ivf.csr_ids, 0)]
         fitted, build_time = True, 0.0
     else:
         _ensure_fitted()
@@ -142,7 +165,10 @@ for build_probes in range(1, args.max_build_probes):
     n_probes = 1
     qpss, recalls = [], []
     while recall < args.recall_target and n_probes <= ivf.n_clusters:
-        p1 = int(args.pass1_mult * ((n_probes + 1) * k_neighbours + 1))
+        # pass1_mult=0 -> library default (in exact mode pass_1 only
+        # widens the fold against slot collisions)
+        p1 = (int(args.pass1_mult * ((n_probes + 1) * k_neighbours + 1))
+              or None)
         # warm / compile for this shape
         guesses = np.asarray(ivf.query(queries, k=k_neighbours,
                                        n_probes=n_probes, pass_1=p1))

@@ -43,12 +43,19 @@ parser.add_argument("--stream-reps", type=int, nargs=2, default=[16, 48])
 parser.add_argument("--index", default="ivf_clustered-1183514-100_"
                     "angular_num_clusters=1087_dims_per_block=2_"
                     "build_probes=1.npz")
+parser.add_argument("--scan-impl", default=None,
+                    choices=["auto", "fused", "xla", "exact"])
 args = parser.parse_args()
 
 utils.enable_compilation_cache()
 
 print("loading index...", flush=True)
 ivf = load_ivf(args.index)
+if args.scan_impl is not None and args.scan_impl != ivf.scan_impl:
+    ivf.scan_impl = args.scan_impl
+    if args.scan_impl == "exact" and ivf.csr_vecs is None:
+        from tinyknn_tpu.models.ivf import _augment_data_csr
+        ivf.csr_vecs = _augment_data_csr(ivf.data, ivf.csr_ids)
 
 size, dim = 1183514, 100
 rng = np.random.default_rng(10)

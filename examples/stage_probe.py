@@ -32,6 +32,9 @@ parser.add_argument("--index", default="ivf_clustered-1183514-100_"
                     "build_probes=1.npz")
 parser.add_argument("--fold-mult", type=int, default=None,
                     help="override IVF fold width multiplier")
+parser.add_argument("--scan-impl", default=None,
+                    choices=["auto", "fused", "xla", "exact"])
+parser.add_argument("--rescore-rows", action="store_true")
 args = parser.parse_args()
 
 utils.enable_compilation_cache()
@@ -40,6 +43,15 @@ print("loading index...", flush=True)
 ivf = load_ivf(args.index)
 if args.fold_mult is not None:
     ivf.fold_mult = args.fold_mult
+if args.scan_impl is not None and args.scan_impl != ivf.scan_impl:
+    ivf.scan_impl = args.scan_impl
+    if args.scan_impl == "exact" and ivf.csr_vecs is None:
+        from tinyknn_tpu.models.ivf import _augment_data_csr
+        ivf.csr_vecs = _augment_data_csr(ivf.data, ivf.csr_ids)
+if args.rescore_rows and ivf.csr_raw is None:
+    import jax.numpy as jnp
+    ivf.rescore_rows = True
+    ivf.csr_raw = ivf.data[jnp.maximum(ivf.csr_ids, 0)]
 
 # queries: same generator as examples/bench.py clustered-1183514-100
 size, dim, nq = 1183514, 100, 10000
@@ -58,7 +70,7 @@ trus = np.load(trus_file) if os.path.isfile(trus_file) else None
 k = args.k
 R1, R2 = args.reps
 for P in args.probes:
-    p1 = int(args.mult * ((P + 1) * k + 1))
+    p1 = int(args.mult * ((P + 1) * k + 1)) or None
     qb1 = queries[None] + (np.arange(R1, dtype=np.float32)
                            [:, None, None] * 1e-6)
     qb2 = queries[None] + (np.arange(R2, dtype=np.float32)

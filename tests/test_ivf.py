@@ -438,3 +438,33 @@ def test_exact_mode_save_load(tmp_path):
     assert ivf2.csr_vecs is not None
     got = np.asarray(ivf2.query(qs, k=5, n_probes=4))
     np.testing.assert_array_equal(want, got)
+
+
+def test_rescore_rows_matches_default(tmp_path):
+    """rescore_rows=True (CSR-ordered raw copy + deferred id decode)
+    must return identical results to the default path, including
+    through save/load and build-probes spill dedup."""
+    from tinyknn_tpu.io import load_ivf, save_ivf
+    np.random.seed(48)
+    X = np.random.randn(900, 12).astype(np.float32)
+    qs = np.random.randn(32, 12).astype(np.float32)
+    for metric, impl in [("euclidean", "fused"), ("angular", "fused")]:
+        a_ivf = IVF(metric, 12, FastPQ(2, seed=5, rotate_dim=None),
+                    seed=2, scan_impl=impl)
+        a_ivf.fit(X).build(X, n_probes=2)
+        b_ivf = IVF(metric, 12, FastPQ(2, seed=5, rotate_dim=None),
+                    seed=2, scan_impl=impl, rescore_rows=True)
+        b_ivf.fit(X).build(X, n_probes=2)
+        assert b_ivf.csr_raw is not None
+        a = np.asarray(a_ivf.query(qs, k=7, n_probes=4))
+        b = np.asarray(b_ivf.query(qs, k=7, n_probes=4))
+        np.testing.assert_array_equal(a, b)
+        stream = np.asarray(b_ivf.query_stream(qs[None], k=7,
+                                               n_probes=4))
+        np.testing.assert_array_equal(stream[0], b)
+        path = tmp_path / f"rr_{metric}.npz"
+        save_ivf(path, b_ivf)
+        b2 = load_ivf(path)
+        assert b2.csr_raw is not None
+        np.testing.assert_array_equal(
+            np.asarray(b2.query(qs, k=7, n_probes=4)), b)

@@ -199,3 +199,39 @@ def test_sharded_query_stream_matches_query(mesh):
     for i in range(2):
         single = np.asarray(sivf.query(qs[i], k=6, n_probes=4))
         np.testing.assert_array_equal(stream[i], single)
+
+
+def test_sharded_exact_mode(mesh):
+    """Cluster-sharded exact mode: true kNN at full probe coverage,
+    stream agrees with query, and it matches the single-chip exact
+    index."""
+    rng = np.random.default_rng(9)
+    n, d, nq = 600, 12, 16
+    X = rng.standard_normal((n, d)).astype(np.float32)
+    qs = rng.standard_normal((nq, d)).astype(np.float32)
+    trus = np.asarray(knn_brute(qs, X, k=5))
+
+    single = IVF("euclidean", 12, FastPQ(2, seed=7, rotate_dim=None),
+                 seed=3, scan_impl="exact")
+    single.fit(X).build(X, n_probes=2)
+    sharded = ShardedIVF("euclidean", 12,
+                         FastPQ(2, seed=7, rotate_dim=None),
+                         mesh=mesh, seed=3, scan_impl="exact")
+    sharded.fit(X).build(X, n_probes=2)
+
+    # full probe coverage -> exact kNN (f32 rescore removes bf16 ties)
+    got = np.asarray(sharded.query(qs, k=5, n_probes=12))
+    rec = np.mean([len(set(g.tolist()) & set(t.tolist())) / 5
+                   for g, t in zip(got, trus)])
+    assert rec >= 0.99, rec
+
+    a = np.asarray(single.query(qs, k=5, n_probes=3))
+    b = np.asarray(sharded.query(qs, k=5, n_probes=3))
+    overlap = np.mean([len(set(x.tolist()) & set(y.tolist())) / 5
+                       for x, y in zip(a, b)])
+    assert overlap >= 0.9, overlap
+
+    stream = np.asarray(sharded.query_stream(
+        np.stack([qs, qs]), k=5, n_probes=3))
+    np.testing.assert_array_equal(stream[0], b)
+    np.testing.assert_array_equal(stream[1], b)

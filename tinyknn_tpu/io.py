@@ -142,6 +142,7 @@ def save_ivf(path, ivf: IVF, compress: bool = False):
             "scan_impl": ivf.scan_impl,
             "build_probes": getattr(ivf, "build_probes", 2),
             "fold_mult": getattr(ivf, "fold_mult", 8),
+            "rescore_rows": bool(getattr(ivf, "rescore_rows", False)),
         }).encode(), dtype=np.uint8),
         all_centers=np.asarray(ivf.all_centers),
         active_centers=active_centers,
@@ -192,6 +193,7 @@ def load_ivf(path) -> IVF:
         ivf.pass1_method = meta.get("pass1_method", "auto")
         ivf.scan_impl = meta.get("scan_impl", "auto")
         ivf.fold_mult = meta.get("fold_mult", 8)
+        ivf.rescore_rows = meta.get("rescore_rows", False)
         ivf.build_probes = meta.get("build_probes")
         ivf.pq = pq
         ivf.labels = (np.asarray(data["labels"])
@@ -240,6 +242,10 @@ def load_ivf(path) -> IVF:
         if ivf.scan_impl == "exact":
             from .models.ivf import _augment_data_csr
             ivf.csr_vecs = _augment_data_csr(ivf.data, ivf.csr_ids)
+        # CSR-ordered raw rows (rescore_rows) are derived state too
+        ivf.csr_raw = None
+        if getattr(ivf, "rescore_rows", False):
+            ivf.csr_raw = ivf.data[jnp.maximum(ivf.csr_ids, 0)]
         return ivf
 
 

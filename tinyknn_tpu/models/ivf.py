@@ -87,15 +87,21 @@ class IVF:
     def __init__(self, metric, n_clusters, pq=None, seed=0,
                  kmeans_iters=30, queries_per_cluster=None,
                  pass1_method="auto", scan_impl="auto",
-                 fold_mult=FOLD_MULT):
+                 fold_mult=FOLD_MULT, rescore_rows=False):
         """``scan_impl``: 'auto' (fused Pallas PQ scan on TPU when it
         fits, else 'xla'), 'fused', 'xla', or 'exact' — a TPU-native
         mode beyond the reference: raw bf16 vectors ride the CSR tiles
-        and the scan kernel computes TRUE squared distances on the MXU
-        (no PQ estimate, no rescore pass, pass_1 collapses to k). 4x
-        the memory of 4-bit codes at dims_per_block=2; exact-rank
-        quality up to bf16 input rounding. Opt-in because PQ is the
-        capacity story — see docs/PERFORMANCE.md."""
+        and the scan kernel computes true squared distances on the MXU
+        (no PQ estimate; the pass-1 pool collapses to ~4k and a thin
+        exact f32 rescore fixes bf16 near-tie swaps). 4x the memory of
+        4-bit codes at dims_per_block=2; exact-rank quality. Opt-in
+        because PQ is the capacity story — see docs/PERFORMANCE.md.
+
+        ``rescore_rows``: store a CSR-ordered copy of the raw vectors
+        at build (+1 data copy of HBM) so the rescore gathers by flat
+        row directly and ids decode only for the final winners —
+        removes one of the two multi-million-element gathers that
+        dominate the PQ-path query (docs/PERFORMANCE.md round 3)."""
         assert metric in ["euclidean", "angular"]
         self.metric = metric
         self.pq = FastPQ(dims_per_block=2) if pq is None else pq
@@ -110,8 +116,10 @@ class IVF:
         self.list_counts = None  # (C,) int32 true list lengths
         self.all_centers = None
         self.active_centers = None
+        self.rescore_rows = rescore_rows
         self.csr_codes = None    # (T, B/2, 128) uint8 code tiles
         self.csr_vecs = None     # (T, d_aug, 128) bf16 (exact mode)
+        self.csr_raw = None      # (T * 128, d) f32 (rescore_rows)
         self.csr_ids = None      # (T * 128,) int32, -1 padding
         self.tile_offsets = None  # (C,) int32, list i starts at tile [i]
         self.max_tiles = None    # host int: longest list in tiles
@@ -223,6 +231,11 @@ class IVF:
                 "position field; raise n_clusters")
             with timer(verbose, "Storing raw vector tiles (exact)..."):
                 self.csr_vecs = _augment_data_csr(data, self.csr_ids)
+        if self.rescore_rows:
+            with timer(verbose, "Storing CSR-ordered raw rows..."):
+                self.csr_raw = jax.jit(
+                    lambda d, i: d[jnp.maximum(i, 0)])(
+                        data, self.csr_ids)
         return self
 
     # ------------------------------------------------------------- query
@@ -291,18 +304,31 @@ class IVF:
             # retry at 4x capacity is cheap relative to losing probes.
             # Both rounds escalate — round 0 (each query's nearest
             # cluster) concentrates the worst skew, e.g. a batch of
-            # near-duplicate queries all landing in one list.
-            # The dropped-pair readback costs one host round trip, so it
-            # runs by default only in the small-batch regime where skew
-            # is likely and the sync is amortized poorly anyway; large
-            # batches dilute skew statistically — audit them with
-            # with_stats=True or pin queries_per_cluster.
-            check_drops = (not self.queries_per_cluster
-                           and (q.shape[0] * n_probes <= 4096
-                                or with_stats))
+            # near-duplicate queries all landing in one list. The check
+            # is free per successful call: (out, dropped) come back in
+            # ONE device_get (the caller needs out on the host anyway),
+            # so it defaults on for every batch size — clustered
+            # real-world queries skew at ANY batch size (a round-3
+            # GloVe sweep lost 1-2pp recall at P>=3/Q=10k to silent
+            # tail-round drops before this). queries_per_cluster pins
+            # the capacity and disables the escalation.
+            check_drops = not self.queries_per_cluster
             attempts = 3 if check_drops else 1
-            qc_full = round_up(q.shape[0] * n_probes, 8)
-            qc0_full = round_up(q.shape[0], 8)
+            # The can't-drop caps are bounded by a ~2 GB fold/bucket
+            # grid budget: unbounded qc_full = Q*P would size the
+            # (C, qc, S) scan grids in the hundreds of GB at 10k-query
+            # batches. If the cap still drops pairs (pathological
+            # skew), the final attempt's count surfaces in with_stats.
+            s0_w = _fold_tiles(r, self.max_tiles, fold_mult) * LANE_TILE
+            st_w = _fold_tiles(r_tail, self.max_tiles,
+                               fold_mult) * LANE_TILE
+            budget = 2 << 30
+            qc_cap = max(qc, budget // max(1, 4 * n_active * st_w))
+            qc0_cap = max(qc0, budget // max(1, 4 * n_active * s0_w))
+            qc_full = min(round_up(q.shape[0] * n_probes, 8),
+                          round_up(qc_cap, 8))
+            qc0_full = min(round_up(q.shape[0], 8),
+                           round_up(qc0_cap, 8))
             codes_arg = (self.csr_vecs if scan_impl == "exact"
                          else self.csr_codes)
             for _attempt in range(attempts):
@@ -310,7 +336,7 @@ class IVF:
                     jnp.asarray(q), self.pq.center_blocks, self.pq.R,
                     self.active_centers, codes_arg, self.csr_ids,
                     self.tile_offsets, self.list_counts, self.scan_map,
-                    self.data,
+                    self.data, self.csr_raw,
                     dpb=self.pq.dims_per_block, metric=self.metric,
                     k=k, n_probes=n_probes, pass_1=pass_1, r=r,
                     r_tail=r_tail, qc=qc, qc0=qc0, method=method,
@@ -318,6 +344,10 @@ class IVF:
                     build_probes=getattr(self, "build_probes", 2),
                     table_dtype=self.pq.table_dtype,
                     fold_mult=fold_mult)
+                # one transfer for both: the drop check costs no extra
+                # host round trip on the (overwhelmingly common) clean
+                # attempt
+                out, dropped = jax.device_get((out, dropped))
                 if _attempt + 1 == attempts or int(dropped) == 0:
                     break
                 if _attempt + 2 == attempts:  # last try: can't-drop caps
@@ -400,15 +430,6 @@ def _augment_queries(q):
     return aug.astype(jnp.bfloat16)
 
 
-def _decode_enc_vals(enc_sel):
-    """Encoded bf16-bits fold entries -> f32 distances (inf = empty)."""
-    bits = jax.lax.shift_right_logical(
-        enc_sel, jnp.int32(16)).astype(jnp.uint16)
-    vals = jax.lax.bitcast_convert_type(
-        bits, jnp.bfloat16).astype(jnp.float32)
-    return jnp.where(enc_sel < jnp.int32(ENC_INVALID), vals, jnp.inf)
-
-
 def _fold_tiles(r: int, max_tiles: int, mult: int = FOLD_MULT) -> int:
     """Fold width (in 128-lane tiles) for the CSR kernel: ``mult``x
     headroom over r keeps position-class collisions (the fold's
@@ -453,29 +474,58 @@ def _fused_ok(pq, cap: int, max_tiles: int, rounds,
     return True
 
 
+def _exact_widths(mult, max_tiles, n_active, qc, qc0, k, pass_1):
+    """Exact-mode fold widths (shared by the single-chip and sharded
+    paths): (r, r_tail, pass_1) such that _fold_tiles(r, ...) hits the
+    target tile widths — full longest list for round 0 under a ~512 MB
+    (C, qc, S) grid budget, a narrower budgeted fold for tails."""
+    b0_tiles = max(1, (512 << 20)
+                   // (4 * max(n_active, 1) * qc0 * LANE_TILE))
+    bt_tiles = max(1, (512 << 20)
+                   // (4 * max(n_active, 1) * qc * LANE_TILE))
+    base = pass_1 if pass_1 is not None else 4 * k
+    w0 = max(min(max_tiles, b0_tiles),
+             -(-mult * max(4 * k, 32) // LANE_TILE))
+    wt = max(min(max_tiles, bt_tiles,
+                 -(-mult * max(base, 2 * k) // LANE_TILE)),
+             -(-mult * 16 // LANE_TILE))
+    return (-(-w0 * LANE_TILE // mult), -(-wt * LANE_TILE // mult),
+            base)
+
+
 def _query_params(self, Q, k, n_probes, pass_1):
     """Shared query-shape parameter derivation (see IVF.query)."""
     n_active = self.active_centers.shape[0]
     n_probes = min(n_probes, n_active)
     k = min(k, int(self.data.shape[0]))
     cap = self.max_tiles * LANE_TILE
+    qc = self.queries_per_cluster or max(
+        8, round_up(5 * Q * n_probes // (2 * max(n_active, 1)) + 1, 8))
+    qc0 = self.queries_per_cluster or default_qc0(Q, n_active)
     if self.scan_impl == "exact":
-        # exact distances need no estimate-noise depth: the candidate
-        # budget collapses to ~k (+ fold headroom via _fold_tiles);
-        # a user pass_1 only widens the fold against slot collisions.
-        base = pass_1 if pass_1 is not None else 4 * k
-        r = min(cap, max(base, 2 * k, 32))
-        r_tail = min(cap, max(base // 2, k, 16))
-        pass_1 = k
+        # Exact distances need no estimate-noise depth: selection
+        # keeps only ~k candidates. What matters is FOLD WIDTH — two
+        # top-k ids of one list landing in the same position class
+        # lose one of them unrecoverably (round-3 sweep: recall
+        # saturated at 0.949 with a 384-slot round-0 fold because the
+        # nearest list holds ~93% of true neighbors). Round 0 therefore
+        # folds over the WHOLE longest list (zero collisions) whenever
+        # the (C, qc0, S) fold grid stays under a ~512 MB HBM budget;
+        # tail lists hold few true neighbors each, so they get a
+        # narrower budgeted fold that a user pass_1 can widen. r and
+        # r_tail only drive _fold_tiles here (W = ceil(mult*r/128)),
+        # so they are derived from the target widths in tiles. The
+        # returned pass_1 (~4k) sizes the thin exact f32 rescore that
+        # fixes bf16 near-tie swaps (see _ivf_query step 5).
+        mult = getattr(self, "fold_mult", FOLD_MULT) or FOLD_MULT
+        r, r_tail, pass_1 = _exact_widths(
+            mult, self.max_tiles, n_active, qc, qc0, k, pass_1)
     else:
         if pass_1 is None:
             pass_1 = (n_probes + 1) * k + 1
         r = min(pass_1, cap)
         r_tail = min(pass_1, cap, max(3 * k, 16))
         pass_1 = min(pass_1, r + (n_probes - 1) * r_tail)
-    qc = self.queries_per_cluster or max(
-        8, round_up(5 * Q * n_probes // (2 * max(n_active, 1)) + 1, 8))
-    qc0 = self.queries_per_cluster or default_qc0(Q, n_active)
     return k, n_probes, pass_1, r, r_tail, qc, qc0
 
 
@@ -519,7 +569,8 @@ class _StreamMixin:
             batches, self.pq.center_blocks, self.pq.R,
             self.active_centers, codes_arg, self.csr_ids,
             self.tile_offsets, self.list_counts, self.scan_map,
-            self.data, dpb=self.pq.dims_per_block, metric=self.metric,
+            self.data, self.csr_raw,
+            dpb=self.pq.dims_per_block, metric=self.metric,
             k=k, n_probes=n_probes, pass_1=pass_1, r=r, r_tail=r_tail,
             qc=qc, qc0=qc0, method=method, scan_impl=scan_impl,
             max_tiles=self.max_tiles,
@@ -547,11 +598,11 @@ IVF.query_stream = _StreamMixin.query_stream
                                    "fold_mult"))
 def _ivf_query_stream(batches, center_blocks, R, active_centers,
                       csr_codes, csr_ids, tile_offsets, list_counts,
-                      scan_map, data, **kw):
+                      scan_map, data, csr_raw=None, **kw):
     def body(q):
         return _ivf_query.__wrapped__(
             q, center_blocks, R, active_centers, csr_codes, csr_ids,
-            tile_offsets, list_counts, scan_map, data, **kw)
+            tile_offsets, list_counts, scan_map, data, csr_raw, **kw)
 
     out, dropped = jax.lax.map(body, batches)
     return out, jnp.sum(dropped)
@@ -695,7 +746,7 @@ def _bucket_scan_round(probe_sub, tables_flat, csr_codes, csr_ids,
 
 
 def _select_pool_enc(pools, bases, p1: int, method: str, col_bits: int,
-                     csr_ids):
+                     csr_ids, decode_ids: bool = True):
     """Global candidate selection in the encoded int32 domain.
 
     pools: per-round encoded fold buffers [(Q, Ps_i, S_i) int32];
@@ -762,6 +813,10 @@ def _select_pool_enc(pools, bases, p1: int, method: str, col_bits: int,
     rows = jnp.minimum(rowbase + pos, n_rows - 1)
     valid = enc_sel < jnp.int32(ENC_INVALID)
     rows = jnp.where(valid, rows, 0)
+    if not decode_ids:
+        # deferred-id mode (rescore_rows): skip the (Q, p1) csr_ids
+        # gather entirely — the caller decodes ids for winners only
+        return None, rows, enc_sel
     cand = jnp.where(valid, csr_ids[rows], -1)
     return cand, rows, enc_sel
 
@@ -781,7 +836,8 @@ def default_qc0(Q: int, C: int) -> int:
                                    "build_probes", "table_dtype",
                                    "fold_mult"))
 def _ivf_query(q, center_blocks, R, active_centers, csr_codes, csr_ids,
-               tile_offsets, list_counts, scan_map, data, *, dpb: int,
+               tile_offsets, list_counts, scan_map, data, csr_raw=None,
+               *, dpb: int,
                metric: str,
                k: int, n_probes: int, pass_1: int, r: int, r_tail: int,
                qc: int, qc0: int, method: str = "exact",
@@ -873,8 +929,33 @@ def _ivf_query(q, center_blocks, R, active_centers, csr_codes, csr_ids,
         col_bits = (16 if scan_impl == "exact"
                     or tables_flat.dtype != jnp.int8 else
                     max(1, (max_tiles * LANE_TILE - 1).bit_length()))
-        cand, _, enc_sel = _select_pool_enc(pools, bases, p1, method,
-                                            col_bits, csr_ids)
+        cand, rows_sel, enc_sel = _select_pool_enc(
+            pools, bases, p1, method, col_bits, csr_ids,
+            decode_ids=csr_raw is None)
+        if csr_raw is not None:
+            # deferred-id mode: rescore by flat row from the
+            # CSR-ordered raw copy; ids decode only for winners below
+            valid_sel = enc_sel < jnp.int32(ENC_INVALID)
+            gathered = csr_raw[rows_sel]              # (Q, p1, d)
+            diff = gathered - q[:, None, :]
+            d2 = jnp.einsum("qrd,qrd->qr", diff, diff)
+            d2 = jnp.where(valid_sel, d2, jnp.inf)
+            if f > 1:
+                k2 = min(k * f, p1)
+                _, best = jax.lax.top_k(-d2, k2)
+                rows_b = jnp.take_along_axis(rows_sel, best, axis=1)
+                d2 = jnp.take_along_axis(d2, best, axis=1)
+                cand = jnp.where(jnp.isfinite(d2), csr_ids[rows_b], -1)
+                cand, d2 = dedup_candidates(cand, d2)
+                _, best = jax.lax.top_k(-d2, k)
+                out = jnp.take_along_axis(cand, best, axis=1)
+                out_d2 = jnp.take_along_axis(d2, best, axis=1)
+            else:
+                _, best = jax.lax.top_k(-d2, k)
+                rows_b = jnp.take_along_axis(rows_sel, best, axis=1)
+                out_d2 = jnp.take_along_axis(d2, best, axis=1)
+                out = csr_ids[rows_b]                 # (Q, k) gather
+            return (jnp.where(jnp.isfinite(out_d2), out, -1), dropped)
     else:
         flat_vals = jnp.concatenate(
             [v0.reshape(Q, -1)] + ([v1.reshape(Q, -1)] if P > 1 else []),
@@ -887,16 +968,17 @@ def _ivf_query(q, center_blocks, R, active_centers, csr_codes, csr_ids,
         rows_sel = jnp.take_along_axis(flat_rows, top_pos, axis=1)
         cand = jnp.where(jnp.isfinite(vsel), csr_ids[rows_sel], -1)
 
-    # -- 5. exact rescore (+ tiny post-rescore dedup when f > 1).
-    # In exact mode the scan already computed true distances — the
-    # survivors' encodings decode straight to them, no gather pass.
-    if scan_impl == "exact":
-        d2 = _decode_enc_vals(enc_sel)
-    else:
-        gathered = data[jnp.maximum(cand, 0)]         # (Q, p1, d)
-        diff = gathered - q[:, None, :]
-        d2 = jnp.einsum("qrd,qrd->qr", diff, diff)
-        d2 = jnp.where(cand >= 0, d2, jnp.inf)
+    # -- 5. exact f32 rescore (+ tiny post-rescore dedup when f > 1).
+    # Exact mode rescores too: its bf16 scan is a near-perfect pruner,
+    # but bf16 rounding (~0.4% relative) swaps near-tie neighbors at
+    # the top-k boundary — a round-3 GloVe sweep saturated at recall
+    # 0.950 decoding scan distances directly, vs 0.97+ with this
+    # pass. Its sliver is ~10x narrower than the PQ path's (pass-1
+    # collapses to ~4k), so the gather stays cheap.
+    gathered = data[jnp.maximum(cand, 0)]             # (Q, p1, d)
+    diff = gathered - q[:, None, :]
+    d2 = jnp.einsum("qrd,qrd->qr", diff, diff)
+    d2 = jnp.where(cand >= 0, d2, jnp.inf)
     if f > 1:
         k2 = min(k * f, p1)
         _, best = jax.lax.top_k(-d2, k2)

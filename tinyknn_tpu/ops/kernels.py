@@ -648,9 +648,10 @@ def _scan_exact_csr_kernel(cl_ref, tile_ref, tpos_ref, last_ref,
     rows and queries with [-2q, 1, 1, ||q||^2], so the single matmul
     yields ||q||^2 + ||x||^2 - 2qx >= 0 exactly up to bf16 input
     rounding), encoded as bf16_bits << 16 | position and min-folded.
-    No rescore pass or wide top-k exists downstream — the final top-k
-    selects directly on the encodings (replaces the reference's
-    scan+heap+rescore, tinyknn/ivf.py:135-163, at exact-rank quality).
+    Downstream, selection keeps only ~4k encodings and a thin exact
+    f32 rescore fixes bf16 near-tie swaps (replaces the reference's
+    scan+heap+wide-rescore, tinyknn/ivf.py:135-163, at exact-rank
+    quality with a ~10x narrower rescore sliver).
     """
     t = pl.program_id(0)
     tp = tpos_ref[t]

@@ -56,9 +56,6 @@ class ShardedIVF(IVF):
         the query batch — pure data parallelism composed on top of the
         cluster sharding; collectives still ride only ``axis``."""
         super().__init__(metric, n_clusters, pq, **kw)
-        assert self.scan_impl != "exact", (
-            "scan_impl='exact' is single-chip for now; shard with the "
-            "PQ scan ('auto'/'fused'/'xla') or shard queries only")
         self.mesh = mesh if mesh is not None else make_mesh(axis=axis)
         self.axis = axis
         self.query_axis = query_axis
@@ -139,6 +136,13 @@ class ShardedIVF(IVF):
             self.mesh, codes_st, ids_st, toff_st, cnts_st, vecs_st,
             *map_st, axis=self.axis)
         self.scan_map = tuple(scan_map)
+        if self.scan_impl == "exact":
+            # per-shard augmented bf16 vector tiles, rebuilt from the
+            # assembled flat ids (derived state, like io.load does)
+            from ..models.ivf import _augment_data_csr
+            self.csr_vecs = shard_on_axis0(
+                self.mesh, _augment_data_csr(self.data, ids_st),
+                axis=self.axis)
         self.active_centers = replicate(self.mesh, centers)
         self._n_active_real = C
         self._shard_tiles = T_l
@@ -152,12 +156,6 @@ class ShardedIVF(IVF):
         n_probes = min(n_probes, self._n_active_real)
         k = min(k, int(self.data.shape[0]))
         cap = self.max_tiles * 128
-        if pass_1 is None:
-            pass_1 = (n_probes + 1) * k + 1
-        # same deep/shallow budgets as the single-chip path
-        r = min(pass_1, cap)
-        r_tail = min(pass_1, cap, max(3 * k, 16))
-        pass_1 = min(pass_1, r + (n_probes - 1) * r_tail)
         from ..utils.padding import round_up
         c_dev = self.mesh.shape[self.axis]
         q_dev = self.mesh.shape[self.query_axis] if self.query_axis else 1
@@ -173,6 +171,19 @@ class ShardedIVF(IVF):
                      // (2 * max(C_pad, 1))) // 8 + 1))
         qc0 = self.queries_per_cluster or default_qc0(
             q_local, max(C_pad // c_dev, 1))
+        if self.scan_impl == "exact":
+            from ..models.ivf import FOLD_MULT, _exact_widths
+            r, r_tail, pass_1 = _exact_widths(
+                getattr(self, "fold_mult", FOLD_MULT) or FOLD_MULT,
+                self.max_tiles, max(C_pad // c_dev, 1), qc, qc0, k,
+                pass_1)
+        else:
+            if pass_1 is None:
+                pass_1 = (n_probes + 1) * k + 1
+            # same deep/shallow budgets as the single-chip path
+            r = min(pass_1, cap)
+            r_tail = min(pass_1, cap, max(3 * k, 16))
+            pass_1 = min(pass_1, r + (n_probes - 1) * r_tail)
         method = _resolve_method(self.pass1_method)
         fold_mult = getattr(self, "fold_mult", 8)
         scan_impl = self.scan_impl
@@ -191,22 +202,42 @@ class ShardedIVF(IVF):
             # probe selection/rescore, which is idempotent)
             q = q / np.maximum(
                 np.linalg.norm(q, axis=1, keepdims=True), 1e-12)
-        dtable = self.pq._table(q, signed=True)
         qspec = P(self.query_axis) if self.query_axis else P()
         qj = jax.device_put(jnp.asarray(q),
                             NamedSharding(self.mesh, qspec))
-        tables = jax.device_put(dtable.qt.tables,
-                                NamedSharding(self.mesh, qspec))
+        if self.scan_impl == "exact":
+            # no PQ tables: the scan consumes augmented bf16 queries
+            from ..models.ivf import _augment_queries
+            tables = jax.device_put(_augment_queries(jnp.asarray(q)),
+                                    NamedSharding(self.mesh, qspec))
+        else:
+            dtable = self.pq._table(q, signed=True)
+            tables = jax.device_put(dtable.qt.tables,
+                                    NamedSharding(self.mesh, qspec))
         # Same skew-driven drop escalation as the single-chip path
-        # (models/ivf.py IVF.query); drops are psum'd across shards.
-        check_drops = (not self.queries_per_cluster
-                       and (q.shape[0] * n_probes <= 4096 or with_stats))
+        # (models/ivf.py IVF.query); drops are psum'd across shards and
+        # the check is free per clean call ((out, dropped) come back in
+        # one device_get), so it runs at every batch size.
+        check_drops = not self.queries_per_cluster
         attempts = 3 if check_drops else 1
-        qc_full = round_up(q_local * n_probes, 8)
-        qc0_full = round_up(q_local, 8)
+        # can't-drop caps bounded by the per-shard fold-grid budget
+        # (see models/ivf.py IVF.query)
+        from ..models.ivf import _fold_tiles
+        c_local = max(C_pad // c_dev, 1)
+        s0_w = _fold_tiles(r, self.max_tiles, fold_mult) * 128
+        st_w = _fold_tiles(r_tail, self.max_tiles, fold_mult) * 128
+        budget = 2 << 30
+        qc_full = min(round_up(q_local * n_probes, 8),
+                      round_up(max(qc, budget
+                                   // max(1, 4 * c_local * st_w)), 8))
+        qc0_full = min(round_up(q_local, 8),
+                       round_up(max(qc0, budget
+                                    // max(1, 4 * c_local * s0_w)), 8))
+        codes_arg = (self.csr_vecs if scan_impl == "exact"
+                     else self.csr_codes)
         for _attempt in range(attempts):
             out, dropped = _sharded_query(
-                qj, tables, self.active_centers, self.csr_codes,
+                qj, tables, self.active_centers, codes_arg,
                 self.csr_ids, self.tile_offsets, self.list_counts,
                 self.scan_map, self.list_vecs,
                 mesh=self.mesh, axis=self.axis, query_axis=self.query_axis,
@@ -215,6 +246,7 @@ class ShardedIVF(IVF):
                 scan_impl=scan_impl, max_tiles=self.max_tiles,
                 build_probes=getattr(self, "build_probes", 2),
                 fold_mult=fold_mult)
+            out, dropped = jax.device_get((out, dropped))
             if _attempt + 1 == attempts or int(dropped) == 0:
                 break
             if _attempt + 2 == attempts:  # last try: can't-drop caps
@@ -255,11 +287,6 @@ def _sharded_stream_method(self, batches, k, n_probes=1, pass_1=None,
     n_probes = min(n_probes, self._n_active_real)
     k = min(k, int(self.data.shape[0]))
     cap = self.max_tiles * 128
-    if pass_1 is None:
-        pass_1 = (n_probes + 1) * k + 1
-    r = min(pass_1, cap)
-    r_tail = min(pass_1, cap, max(3 * k, 16))
-    pass_1 = min(pass_1, r + (n_probes - 1) * r_tail)
     c_dev = self.mesh.shape[self.axis]
     q_dev = self.mesh.shape[self.query_axis] if self.query_axis else 1
     C_pad = self.tile_offsets.shape[0]
@@ -270,6 +297,17 @@ def _sharded_stream_method(self, batches, k, n_probes=1, pass_1=None,
                  // (2 * max(C_pad, 1))) // 8 + 1))
     qc0 = self.queries_per_cluster or default_qc0(
         q_local, max(C_pad // c_dev, 1))
+    if self.scan_impl == "exact":
+        from ..models.ivf import FOLD_MULT, _exact_widths
+        r, r_tail, pass_1 = _exact_widths(
+            getattr(self, "fold_mult", FOLD_MULT) or FOLD_MULT,
+            self.max_tiles, max(C_pad // c_dev, 1), qc, qc0, k, pass_1)
+    else:
+        if pass_1 is None:
+            pass_1 = (n_probes + 1) * k + 1
+        r = min(pass_1, cap)
+        r_tail = min(pass_1, cap, max(3 * k, 16))
+        pass_1 = min(pass_1, r + (n_probes - 1) * r_tail)
     method = _resolve_method(self.pass1_method)
     fold_mult = getattr(self, "fold_mult", 8)
     scan_impl = self.scan_impl
@@ -288,7 +326,8 @@ def _sharded_stream_method(self, batches, k, n_probes=1, pass_1=None,
                         NamedSharding(self.mesh, qspec))
     out, dropped = _sharded_query_stream(
         qb, self.pq.center_blocks, self.pq.R, self.active_centers,
-        self.csr_codes, self.csr_ids, self.tile_offsets,
+        self.csr_vecs if scan_impl == "exact" else self.csr_codes,
+        self.csr_ids, self.tile_offsets,
         self.list_counts, self.scan_map, self.list_vecs,
         mesh=self.mesh, axis=self.axis, query_axis=self.query_axis,
         metric=self.metric, k=k, n_probes=n_probes, pass_1=pass_1,
@@ -339,8 +378,13 @@ def _sharded_query_stream(qb, center_blocks, Rm, centers, csr_codes,
     def stream(qb, centers, codes_l, ids_l, toff_l, counts_l, smap_l,
                vecs_l):
         def body(q):
-            tables = _build_tables(q, center_blocks, Rm, dpb,
-                                   True, table_dtype).tables
+            if scan_impl == "exact":
+                # batches were normalized before the dispatch (angular)
+                from ..models.ivf import _augment_queries
+                tables = _augment_queries(q)
+            else:
+                tables = _build_tables(q, center_blocks, Rm, dpb,
+                                       True, table_dtype).tables
             ids, _, dropped = step(q, tables, centers, codes_l, ids_l,
                                    toff_l, counts_l, smap_l, vecs_l)
             return ids, dropped
@@ -424,13 +468,15 @@ def _shard_local_query(q, tables, centers, codes_l, ids_l, toff_l,
     is_local = (local_c >= 0) & (local_c < Cl)
     probes_local = jnp.where(is_local, local_c, Cl)
 
-    M = B * 16
-    tables_flat = tables.reshape(Q, M)
-    if scan_impl == "fused":
-        from ..ops.kernels import permute_tables_csr
-        tables_flat = permute_tables_csr(tables_flat, B)
-        if tables_flat.dtype == jnp.float32:
-            tables_flat = tables_flat.astype(jnp.bfloat16)
+    if scan_impl == "exact":
+        tables_flat = tables          # (Q, d_aug) augmented bf16
+    else:
+        tables_flat = tables.reshape(Q, B * 16)
+        if scan_impl == "fused":
+            from ..ops.kernels import permute_tables_csr
+            tables_flat = permute_tables_csr(tables_flat, B)
+            if tables_flat.dtype == jnp.float32:
+                tables_flat = tables_flat.astype(jnp.bfloat16)
 
     v0, rows0, drop0 = _bucket_scan_round(
         probes_local[:, :1], tables_flat, codes_l, ids_l, toff_l,
@@ -452,7 +498,7 @@ def _shard_local_query(q, tables, centers, codes_l, ids_l, toff_l,
     from ..models.fast_pq import pass1_topk
     from ..models.ivf import ENC_INVALID, _select_pool_enc
     f = min(build_probes, n_probes)
-    if scan_impl == "fused":
+    if scan_impl in ("fused", "exact"):
         # non-local probe pairs are invalidated in the encoded domain;
         # selection + survivor-only decode shared with the single-chip
         # path (models/ivf.py _select_pool_enc)
@@ -465,7 +511,8 @@ def _shard_local_query(q, tables, centers, codes_l, ids_l, toff_l,
             bases.append(rows1)
         width = sum(p.shape[1] * p.shape[2] for p in pools)
         p1_eff = min(f * pass_1, width)
-        col_bits = (16 if tables_flat.dtype != jnp.int8 else
+        col_bits = (16 if scan_impl == "exact"
+                    or tables_flat.dtype != jnp.int8 else
                     max(1, (max_tiles * 128 - 1).bit_length()))
         cand, cand_p, _ = _select_pool_enc(pools, bases, p1_eff, method,
                                            col_bits, ids_l)
