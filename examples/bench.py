@@ -133,19 +133,11 @@ for build_probes in range(1, args.max_build_probes):
         with utils.timer(True, f"Loading built index from {ivf_file}"):
             ivf = load_ivf(ivf_file)
         if ivf.scan_impl != args.scan_impl:
-            # archives are scan-engine-independent apart from exact
-            # mode's raw tiles, which are derived state
-            ivf.scan_impl = args.scan_impl
-            if args.scan_impl == "exact" and ivf.csr_vecs is None:
-                from tinyknn_tpu.models.ivf import _augment_data_csr
-                with utils.timer(True, "Building raw vector tiles..."):
-                    ivf.csr_vecs = _augment_data_csr(
-                        ivf.data, ivf.csr_ids)
-        if args.rescore_rows and ivf.csr_raw is None:
-            import jax.numpy as _jnp
-            ivf.rescore_rows = True
+            with utils.timer(True, "Switching scan engine..."):
+                ivf.set_scan_impl(args.scan_impl)
+        if args.rescore_rows:
             with utils.timer(True, "Building CSR-ordered raw rows..."):
-                ivf.csr_raw = ivf.data[_jnp.maximum(ivf.csr_ids, 0)]
+                ivf.set_rescore_rows(True)
         fitted, build_time = True, 0.0
     else:
         _ensure_fitted()

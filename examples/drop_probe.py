@@ -2,11 +2,12 @@
 """Audit bucket-capacity drops at GloVe scale (clustered query skew).
 
 The qc heuristic sizes buckets at ~2.5x the MEAN per-cluster load;
-clustered queries concentrate on hot clusters, so tail-round pairs can
-overflow and silently drop when the batch is large (check_drops only
-defaults on for Q*P <= 4096). This prints dropped pairs + recall per
-probe count via query(..., with_stats=True), optionally with a forced
-queries_per_cluster cap.
+clustered queries concentrate on hot clusters, so tail-round pairs
+can overflow. query() now always runs the free drop check + retry
+escalation (the old Q*P <= 4096 gate silently cost 1-2pp recall at
+GloVe scale); this tool prints the POST-escalation dropped count +
+recall per probe count via query(..., with_stats=True), optionally
+with a forced queries_per_cluster cap (which disables escalation).
 
 Usage: python examples/drop_probe.py [--probes 2 3 10] [--qc 0]
 """
@@ -38,11 +39,7 @@ args = parser.parse_args()
 utils.enable_compilation_cache()
 print("loading index...", flush=True)
 ivf = load_ivf(args.index)
-if args.scan_impl != ivf.scan_impl:
-    ivf.scan_impl = args.scan_impl
-    if args.scan_impl == "exact" and ivf.csr_vecs is None:
-        from tinyknn_tpu.models.ivf import _augment_data_csr
-        ivf.csr_vecs = _augment_data_csr(ivf.data, ivf.csr_ids)
+ivf.set_scan_impl(args.scan_impl)
 if args.qc:
     ivf.queries_per_cluster = args.qc
 

@@ -51,11 +51,8 @@ utils.enable_compilation_cache()
 
 print("loading index...", flush=True)
 ivf = load_ivf(args.index)
-if args.scan_impl is not None and args.scan_impl != ivf.scan_impl:
-    ivf.scan_impl = args.scan_impl
-    if args.scan_impl == "exact" and ivf.csr_vecs is None:
-        from tinyknn_tpu.models.ivf import _augment_data_csr
-        ivf.csr_vecs = _augment_data_csr(ivf.data, ivf.csr_ids)
+if args.scan_impl is not None:
+    ivf.set_scan_impl(args.scan_impl)
 
 size, dim = 1183514, 100
 rng = np.random.default_rng(10)

@@ -47,9 +47,8 @@ args = parser.parse_args()
 utils.enable_compilation_cache()
 print("loading index...", flush=True)
 ivf = load_ivf(args.index)
-if args.rescore_rows and ivf.csr_raw is None:
-    ivf.rescore_rows = True
-    ivf.csr_raw = ivf.data[jnp.maximum(ivf.csr_ids, 0)]
+if args.rescore_rows:
+    ivf.set_rescore_rows(True)
 
 size, dim, nq = 1183514, 100, 10000
 rng = np.random.default_rng(10)

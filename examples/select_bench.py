@@ -187,7 +187,9 @@ def sel_bitcast(acc, pool, base, ids):
     values bitcast straight back (no survivor re-gather)."""
     p = pool.at[0, 0].set(acc)
     f = jax.lax.bitcast_convert_type(p, jnp.float32)
-    f = jnp.where(p == jnp.int32(ivfmod.ENC_INVALID), jnp.inf, f)
+    # mirror the production clamp (inf/NaN-bit sliver, not just the
+    # sentinel) so the timed kernel matches _select_pool_enc
+    f = jnp.where(p >= jnp.int32(0x7F800000), jnp.inf, f)
     negv, top_pos = jax.lax.approx_max_k(-f, p1)
     enc_sel = jax.lax.bitcast_convert_type(-negv, jnp.int32)
     return jnp.sum(enc_sel) + jnp.sum(top_pos)
@@ -198,7 +200,7 @@ def sel_bitcast_decode(acc, pool, base, ids):
     gather (what _select_pool_enc must produce)."""
     p = pool.at[0, 0].set(acc)
     f = jax.lax.bitcast_convert_type(p, jnp.float32)
-    f = jnp.where(p == jnp.int32(ivfmod.ENC_INVALID), jnp.inf, f)
+    f = jnp.where(p >= jnp.int32(0x7F800000), jnp.inf, f)
     negv, top_pos = jax.lax.approx_max_k(-f, p1)
     enc_sel = jax.lax.bitcast_convert_type(-negv, jnp.int32)
     valid = enc_sel < jnp.int32(0x7F800000)

@@ -43,15 +43,10 @@ print("loading index...", flush=True)
 ivf = load_ivf(args.index)
 if args.fold_mult is not None:
     ivf.fold_mult = args.fold_mult
-if args.scan_impl is not None and args.scan_impl != ivf.scan_impl:
-    ivf.scan_impl = args.scan_impl
-    if args.scan_impl == "exact" and ivf.csr_vecs is None:
-        from tinyknn_tpu.models.ivf import _augment_data_csr
-        ivf.csr_vecs = _augment_data_csr(ivf.data, ivf.csr_ids)
-if args.rescore_rows and ivf.csr_raw is None:
-    import jax.numpy as jnp
-    ivf.rescore_rows = True
-    ivf.csr_raw = ivf.data[jnp.maximum(ivf.csr_ids, 0)]
+if args.scan_impl is not None:
+    ivf.set_scan_impl(args.scan_impl)
+if args.rescore_rows:
+    ivf.set_rescore_rows(True)
 
 # queries: same generator as examples/bench.py clustered-1183514-100
 size, dim, nq = 1183514, 100, 10000

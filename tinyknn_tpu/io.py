@@ -245,7 +245,8 @@ def load_ivf(path) -> IVF:
         # CSR-ordered raw rows (rescore_rows) are derived state too
         ivf.csr_raw = None
         if getattr(ivf, "rescore_rows", False):
-            ivf.csr_raw = ivf.data[jnp.maximum(ivf.csr_ids, 0)]
+            from .models.ivf import _csr_raw_rows
+            ivf.csr_raw = _csr_raw_rows(ivf.data, ivf.csr_ids)
         return ivf
 
 

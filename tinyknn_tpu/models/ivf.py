@@ -84,6 +84,10 @@ def _rows_of(tile_offsets, cap: int, n_rows: int):
 class IVF:
     """Inverted-file ANN index (reference: tinyknn/ivf.py)."""
 
+    # ShardedIVF derives per-shard raw/augmented arrays in _place();
+    # the base build skips the single-device versions for it
+    _sharded = False
+
     def __init__(self, metric, n_clusters, pq=None, seed=0,
                  kmeans_iters=30, queries_per_cluster=None,
                  pass1_method="auto", scan_impl="auto",
@@ -229,13 +233,39 @@ class IVF:
             assert self.max_tiles * LANE_TILE <= 1 << 16, (
                 "exact mode: longest list exceeds the 16-bit fold "
                 "position field; raise n_clusters")
-            with timer(verbose, "Storing raw vector tiles (exact)..."):
-                self.csr_vecs = _augment_data_csr(data, self.csr_ids)
-        if self.rescore_rows:
+            if not self._sharded:  # ShardedIVF._place re-derives
+                with timer(verbose, "Storing raw vector tiles..."):
+                    self.csr_vecs = _augment_data_csr(data, self.csr_ids)
+        if self.rescore_rows and not self._sharded:
+            # (the sharded path always rescores by row from its
+            # per-shard vecs_l and defers id decode — no copy needed)
             with timer(verbose, "Storing CSR-ordered raw rows..."):
-                self.csr_raw = jax.jit(
-                    lambda d, i: d[jnp.maximum(i, 0)])(
-                        data, self.csr_ids)
+                self.csr_raw = _csr_raw_rows(data, self.csr_ids)
+        return self
+
+    def set_scan_impl(self, scan_impl):
+        """Switch the list-scan engine on a built index, rebuilding the
+        engine's derived state (exact mode's bf16 vector tiles /
+        rescore_rows' raw-row copy are derived from (data, csr_ids),
+        so archives are scan-engine-independent)."""
+        assert scan_impl in ("auto", "fused", "xla", "exact")
+        self.scan_impl = scan_impl
+        if (scan_impl == "exact" and self.csr_vecs is None
+                and self.csr_ids is not None):
+            assert self.max_tiles * LANE_TILE <= 1 << 16, (
+                "exact mode: longest list exceeds the 16-bit fold "
+                "position field; raise n_clusters")
+            self.csr_vecs = _augment_data_csr(self.data, self.csr_ids)
+        return self
+
+    def set_rescore_rows(self, enabled=True):
+        """Toggle the CSR-ordered raw-row rescore copy on a built
+        index (see the constructor's ``rescore_rows``)."""
+        self.rescore_rows = enabled
+        if enabled and self.csr_raw is None and self.csr_ids is not None:
+            self.csr_raw = _csr_raw_rows(self.data, self.csr_ids)
+        if not enabled:
+            self.csr_raw = None
         return self
 
     # ------------------------------------------------------------- query
@@ -297,7 +327,11 @@ class IVF:
                 k=k, n_probes=n_probes, pass_1=pass_1,
                 max_tiles=self.max_tiles,
                 table_dtype=self.pq.table_dtype)
-            dropped = jnp.int32(0)
+            # host array like the bucket path (whose drop check
+            # device_gets) — the public return type must not depend on
+            # which mode 'auto' picked
+            out = jax.device_get(out)
+            dropped = np.int32(0)
         else:
             # Drop-aware escalation: a skewed query batch (everyone near
             # the same clusters) can overflow the bucket capacity, and a
@@ -380,6 +414,13 @@ def _map_labels(labels, out):
         return out
     out = np.asarray(out)
     return np.where(out >= 0, labels[np.maximum(out, 0)], np.int64(-1))
+
+
+@jax.jit
+def _csr_raw_rows(data, flat_ids):
+    """CSR-ordered copy of the raw rows (padding slots reuse row 0;
+    they are masked by validity wherever the copy is read)."""
+    return data[jnp.maximum(flat_ids, 0)]
 
 
 def _aug_dim(d: int) -> int:
@@ -483,7 +524,9 @@ def _exact_widths(mult, max_tiles, n_active, qc, qc0, k, pass_1):
                    // (4 * max(n_active, 1) * qc0 * LANE_TILE))
     bt_tiles = max(1, (512 << 20)
                    // (4 * max(n_active, 1) * qc * LANE_TILE))
-    base = pass_1 if pass_1 is not None else 4 * k
+    # floor at k: the selection width p1 = f * pass_1 feeds a final
+    # top_k(k), so a user pass_1 < k must not shrink it below k
+    base = max(pass_1 if pass_1 is not None else 4 * k, k)
     w0 = max(min(max_tiles, b0_tiles),
              -(-mult * max(4 * k, 32) // LANE_TILE))
     wt = max(min(max_tiles, bt_tiles,
@@ -523,6 +566,7 @@ def _query_params(self, Q, k, n_probes, pass_1):
     else:
         if pass_1 is None:
             pass_1 = (n_probes + 1) * k + 1
+        pass_1 = max(pass_1, k)  # p1 feeds a final top_k(k)
         r = min(pass_1, cap)
         r_tail = min(pass_1, cap, max(3 * k, 16))
         pass_1 = min(pass_1, r + (n_probes - 1) * r_tail)

@@ -49,6 +49,12 @@ class ShardedIVF(IVF):
     places the grids over the mesh; ``query`` runs the shard_map step.
     """
 
+    # _place() derives per-shard raw/augmented arrays itself; the base
+    # build skips the single-device csr_vecs/csr_raw versions. The
+    # sharded rescore always gathers by row from its per-shard vecs_l
+    # with deferred id decode, so rescore_rows is inherently on.
+    _sharded = True
+
     def __init__(self, metric, n_clusters, pq=None, mesh=None, axis="shards",
                  query_axis=None, **kw):
         """``axis`` names the mesh axis sharding the inverted lists.
@@ -124,8 +130,8 @@ class ShardedIVF(IVF):
         ids_st = jnp.concatenate(ids_parts)            # (n_dev*T_l*128,)
         map_st = [jnp.asarray(np.concatenate([m[i] for m in maps]))
                   for i in range(4)]                   # each (n_dev*G_l,)
-        vecs_st = jax.jit(lambda d, i: d[jnp.maximum(i, 0)])(
-            self.data, ids_st)                         # flat local rescore
+        from ..models.ivf import _csr_raw_rows
+        vecs_st = _csr_raw_rows(self.data, ids_st)     # flat local rescore
         toff_st = jnp.asarray(np.concatenate(toffs).astype(np.int32))
         cnts_st = jnp.asarray(np.concatenate(cnts).astype(np.int32))
         centers = jnp.pad(self.active_centers, ((0, C_pad - C), (0, 0)),
@@ -180,6 +186,7 @@ class ShardedIVF(IVF):
         else:
             if pass_1 is None:
                 pass_1 = (n_probes + 1) * k + 1
+            pass_1 = max(pass_1, k)  # p1 feeds a final top_k(k)
             # same deep/shallow budgets as the single-chip path
             r = min(pass_1, cap)
             r_tail = min(pass_1, cap, max(3 * k, 16))
@@ -305,6 +312,7 @@ def _sharded_stream_method(self, batches, k, n_probes=1, pass_1=None,
     else:
         if pass_1 is None:
             pass_1 = (n_probes + 1) * k + 1
+        pass_1 = max(pass_1, k)  # p1 feeds a final top_k(k)
         r = min(pass_1, cap)
         r_tail = min(pass_1, cap, max(3 * k, 16))
         pass_1 = min(pass_1, r + (n_probes - 1) * r_tail)
@@ -514,8 +522,14 @@ def _shard_local_query(q, tables, centers, codes_l, ids_l, toff_l,
         col_bits = (16 if scan_impl == "exact"
                     or tables_flat.dtype != jnp.int8 else
                     max(1, (max_tiles * 128 - 1).bit_length()))
-        cand, cand_p, _ = _select_pool_enc(pools, bases, p1_eff, method,
-                                           col_bits, ids_l)
+        # deferred-id decode: rescore gathers by flat row from vecs_l,
+        # so the full-width (Q, p1) ids_l gather never happens — ids
+        # decode only for the post-rescore sliver/winners below
+        _, cand_p, enc_sel = _select_pool_enc(
+            pools, bases, p1_eff, method, col_bits, ids_l,
+            decode_ids=False)
+        valid_sel = enc_sel < jnp.int32(ENC_INVALID)
+        cand = None
     else:
         ok0 = is_local[:, :1, None]
         flat_vals = jnp.where(ok0, v0, jnp.inf).reshape(Q, -1)
@@ -537,16 +551,30 @@ def _shard_local_query(q, tables, centers, codes_l, ids_l, toff_l,
     gathered = vecs_l[jnp.clip(cand_p, 0, vecs_l.shape[0] - 1)]
     diff = gathered - q[:, None, :]
     d2 = jnp.einsum("qrd,qrd->qr", diff, diff)
-    d2 = jnp.where(cand >= 0, d2, jnp.inf)
+    d2 = jnp.where(valid_sel if cand is None else (cand >= 0),
+                   d2, jnp.inf)
     if f > 1:
         k2 = min(k * f, p1_eff)
         _, best = jax.lax.top_k(-d2, k2)
-        cand = jnp.take_along_axis(cand, best, axis=1)
         d2 = jnp.take_along_axis(d2, best, axis=1)
+        if cand is None:                     # decode ids on the sliver
+            rows_b = jnp.take_along_axis(cand_p, best, axis=1)
+            cand = jnp.where(jnp.isfinite(d2), ids_l[rows_b], -1)
+        else:
+            cand = jnp.take_along_axis(cand, best, axis=1)
         cand, d2 = dedup_candidates(cand, d2)
-    _, best = jax.lax.top_k(-d2, k)
-    loc_ids = jnp.take_along_axis(cand, best, axis=1)   # (Q, k)
-    loc_d2 = jnp.take_along_axis(d2, best, axis=1)
+        _, best = jax.lax.top_k(-d2, k)
+        loc_ids = jnp.take_along_axis(cand, best, axis=1)
+        loc_d2 = jnp.take_along_axis(d2, best, axis=1)
+    else:
+        _, best = jax.lax.top_k(-d2, k)
+        loc_d2 = jnp.take_along_axis(d2, best, axis=1)
+        if cand is None:                     # decode ids for winners
+            rows_b = jnp.take_along_axis(cand_p, best, axis=1)
+            loc_ids = jnp.where(jnp.isfinite(loc_d2),
+                                ids_l[rows_b], -1)
+        else:
+            loc_ids = jnp.take_along_axis(cand, best, axis=1)
 
     # ---- merge across shards: the only collective
     all_ids = jax.lax.all_gather(loc_ids, axis)         # (S, Q, k)
