@@ -10,14 +10,29 @@ gates mirror the reference's published median/90% true-NN rank (1.0 /
 19.0): we fail the run (vs_baseline = 0) if quality is off, so speed
 can't be bought with broken math.
 
-Timing method: the whole sweep (R batches of 1,000 queries) runs inside
-ONE jitted computation (lax.map over batches) and is wall-clocked
+The JSON additionally carries the NORTH-STAR metric (BASELINE.md):
+GloVe-scale IVF queries/sec at fixed recall10@10 on the 1,183,514-point
+100-d angular workload of the reference's examples/bench.py, where the
+reference publishes 4,727.14 QPS at recall 0.374 (README.md:132-133) —
+both the PQ path and the exact-scan frontier (recall ≥ 0.9) point.
+
+Relay resilience: the tunneled TPU goes down for minutes-to-hours
+(CLAUDE.md). This script is an orchestrator: it probes the chip in a
+SUBPROCESS (a failed backend init poisons the parent process's jax),
+waits bounded time for it to come back, runs the workload in a child
+process, and retries once if the relay dies mid-run — a late number
+instead of rc=1.
+
+Timing method: every sweep (R batches of queries) runs inside ONE
+jitted computation (lax.map over batches) and is wall-clocked
 end-to-end including the final host sync; per-call dispatch through the
-remote TPU relay costs ~25ms, which would otherwise swamp the
+remote TPU relay costs ~28ms, which would otherwise swamp the
 measurement. This mirrors how a serving deployment would batch.
 """
 
 import json
+import os
+import subprocess
 import sys
 import time
 
@@ -28,17 +43,102 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
+# --------------------------------------------------------------- orchestrator
+
+_PROBE = ("import jax, jax.numpy as jnp; "
+          "assert float(jnp.sum(jnp.ones((8,8)) @ jnp.ones((8,8)))) == 512.0;"
+          "print(jax.default_backend())")
+
+
+def wait_for_tpu(deadline_s=1500, probe_timeout=600):
+    """Bounded wait-for-chip loop: tiny matmul probe in a subprocess,
+    sleep-retry until the relay answers or the deadline passes. A new
+    process's first device op can itself block 250-700s on worker
+    re-attach (CLAUDE.md), hence the long per-probe timeout."""
+    t0 = time.time()
+    attempt = 0
+    while True:
+        attempt += 1
+        try:
+            r = subprocess.run([sys.executable, "-c", _PROBE],
+                               capture_output=True, timeout=probe_timeout)
+            if r.returncode == 0:
+                backend = r.stdout.decode().strip().splitlines()[-1]
+                log(f"TPU probe ok (attempt {attempt}, "
+                    f"{time.time() - t0:.0f}s, backend={backend})")
+                return True
+            err = r.stderr.decode().strip().splitlines()[-1:]
+        except subprocess.TimeoutExpired:
+            err = [f"probe timed out after {probe_timeout}s"]
+        left = deadline_s - (time.time() - t0)
+        log(f"TPU probe attempt {attempt} failed ({err}); "
+            f"{max(left, 0):.0f}s of wait budget left")
+        if left <= 0:
+            return False
+        time.sleep(min(45.0, max(10.0, left / 20)))
+
+
 def main():
+    t_start = time.time()
+    if not wait_for_tpu():
+        log("TPU unreachable after bounded wait — emitting zero record")
+        print(json.dumps({
+            "metric": "fastpq_fullscan_qps_n16000_d128_dpb2",
+            "value": 0.0, "unit": "queries/s", "vs_baseline": 0.0,
+            "note": "tpu relay unreachable after bounded wait",
+        }))
+        return
+    env = dict(os.environ)
+    for attempt in (1, 2):
+        try:
+            r = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--run"],
+                stdout=subprocess.PIPE, stderr=None, env=env, timeout=3300)
+        except subprocess.TimeoutExpired:
+            log(f"workload attempt {attempt} timed out")
+            r = None
+        if r is not None and r.returncode == 0:
+            lines = [ln for ln in r.stdout.decode().splitlines()
+                     if ln.strip().startswith("{")]
+            if lines:
+                print(lines[-1])
+                return
+            log("workload exited 0 but printed no JSON")
+        elif r is not None:
+            log(f"workload attempt {attempt} failed rc={r.returncode}")
+        if attempt == 1:
+            # a mid-run relay outage kills the child; wait and retry
+            if not wait_for_tpu(deadline_s=max(
+                    120, 2700 - int(time.time() - t_start))):
+                break
+    print(json.dumps({
+        "metric": "fastpq_fullscan_qps_n16000_d128_dpb2",
+        "value": 0.0, "unit": "queries/s", "vs_baseline": 0.0,
+        "note": "workload failed after retries (see stderr)",
+    }))
+
+
+# ------------------------------------------------------------------ workload
+
+def _best_of(fn, reps=3):
+    """Best-of-n wall time: remote-relay scheduling jitter otherwise
+    leaks into individual measurements."""
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.time()
+        fn()
+        best = min(best, time.time() - t0)
+    return best
+
+
+def fastpq_fullscan(res):
+    """Reference examples/example.py config: the round-1..3 headline."""
     import jax
     import jax.numpy as jnp
     import tinyknn_tpu as tk
-    from tinyknn_tpu.models.fast_pq import _build_tables, pass1_topk
+    from tinyknn_tpu.models.fast_pq import (_build_tables, _two_pass_top)
     from tinyknn_tpu.ops.scan import estimate_scan
 
-    tk.utils.enable_compilation_cache()
-    log(f"backend: {jax.default_backend()}, devices: {jax.devices()}")
-
-    # ---- workload: reference examples/example.py config
     n, d, nq, dpb = 16000, 128, 1000, 2
     # Enough in-jit batches that the ~28 ms relay dispatch+sync constant
     # is amortized away: the metric is the steady-state per-batch rate a
@@ -60,14 +160,12 @@ def main():
     pq = tk.FastPQ(dims_per_block=dpb, rotate_dim=None)
     data = pq.fit_transform(X)
     jax.block_until_ready(data.packed)
-    fit_time = time.time() - t0
-    log(f"fit+transform: {fit_time:.1f}s (includes jit compile)")
+    log(f"fit+transform: {time.time() - t0:.1f}s (includes jit compile)")
 
     codes = data.packed  # nibble-packed storage; scans unpack on-chip
     cb = pq.center_blocks
     backend = pq.backend
 
-    # ---- the timed computation: tables + estimate, R batches in one jit
     @jax.jit
     def sweep(qbatches):
         def body(q):
@@ -84,21 +182,19 @@ def main():
 
     log("warmup/compile...")
     np.asarray(sweep(qb))
-    elapsed = float("inf")
-    for _ in range(3):  # best-of-3: remote-relay jitter otherwise leaks in
-        t0 = time.time()
-        np.asarray(sweep(qb))
-        elapsed = min(elapsed, time.time() - t0)
+    elapsed = _best_of(lambda: np.asarray(sweep(qb)))
     qps = reps * nq / elapsed
     log(f"full-scan tables+estimate: {elapsed/reps*1000:.3f}ms per {nq} "
         f"queries -> {qps:.0f} QPS sustained "
         f"({reps} batches + one dispatch in {elapsed*1000:.0f}ms)")
+    res["value"] = round(qps, 1)
 
     # ---- on-device kernel equality gate: the Pallas tiled kernel must
     # agree with the XLA one-hot matmul oracle ON REAL HARDWARE (the
     # pltpu.repeat interpret/hardware divergence showed interpret-mode
     # tests alone can lie — CLAUDE.md); exact int32 equality, every run.
-    if jax.default_backend() == "tpu":
+    import jax as _jax
+    if _jax.default_backend() == "tpu":
         from tinyknn_tpu.ops.kernels import estimate_scan_pallas
         from tinyknn_tpu.ops.scan import estimate_scan_xla
         qt_small = _build_tables(jnp.asarray(qs[:8]), cb, None, dpb, True)
@@ -112,8 +208,7 @@ def main():
         kernel_diff = int(_diff(codes, qt_small.tables))
         log(f"kernel equality (pallas vs xla oracle, on device): "
             f"diff={kernel_diff}")
-    else:
-        kernel_diff = 0
+        res["gate_estimate_kernel_diff"] = kernel_diff
 
     # ---- quality gate: true-NN rank distribution of the estimates
     # (computed on device: only the (nq,) ranks come back — full-est
@@ -131,13 +226,11 @@ def main():
 
     places = np.asarray(ranks(est, trus_j))
     med, q90 = float(np.median(places)), float(np.quantile(places, 0.9))
-    log(f"true-NN rank: median={med}, 90%={q90} "
-        f"(reference: 1.0 / 19.0)")
+    log(f"true-NN rank: median={med}, 90%={q90} (reference: 1.0 / 19.0)")
+    res["rank_median"], res["rank_q90"] = med, q90
 
-    # ---- end-to-end two-pass search QPS (not the headline, for the record)
+    # ---- end-to-end two-pass search QPS (not the headline, for record)
     Xj = jnp.asarray(X)
-
-    from tinyknn_tpu.models.fast_pq import _two_pass_top
 
     @jax.jit
     def sweep_top(qbatches):
@@ -149,60 +242,207 @@ def main():
         return jax.lax.map(body, qbatches)
 
     np.asarray(sweep_top(qb))
-    el2 = float("inf")
-    for _ in range(3):
-        t0 = time.time()
-        np.asarray(sweep_top(qb))
-        el2 = min(el2, time.time() - t0)
+    el2 = _best_of(lambda: np.asarray(sweep_top(qb)))
     log(f"fused two-pass top-10 search: {el2/reps*1000:.2f}ms per {nq} "
         f"-> {reps*nq/el2:.0f} QPS")
+    res["search_qps"] = round(reps * nq / el2, 1)
     top = np.asarray(pq.search(qs, data, X, k=10, method="approx"))
     recall = float(np.mean([t in row for t, row in zip(trus, top)]))
     log(f"search recall1@10: {recall:.3f}")
+    res["search_recall1_at_10"] = round(recall, 4)
 
-    # ---- batch-size scaling detail (M=1000 is the matmul's thin dim;
-    # larger query batches raise MXU utilization — docs/PERFORMANCE.md)
-    for nq_big in (4000, 8000):
-        reps_b = max(1, 200000 // nq_big)
-        qs_big = jnp.tile(qs_j, (nq_big // nq, 1))
-        jb = jnp.arange(reps_b, dtype=jnp.float32)[:, None, None] * 1e-6
-        qbb = jnp.broadcast_to(qs_big, (reps_b, nq_big, d)) + jb
 
-        @jax.jit
-        def sweep_big(qbatches):
-            def body(q):
-                qt = _build_tables(q, cb, None, dpb, True)
-                est = estimate_scan(codes, qt.tables, backend, packed=True)
-                return est[0, 0] + est[nq_big - 1, n - 1]
-            return jax.lax.map(body, qbatches)
+def hw_gate_production_kernels(res):
+    """On-device equality gates for the kernels every IVF query runs:
+    scan_fold_csr (int8 and float-table encodings) against the XLA
+    oracle scan path, and scan_exact_csr against brute-force truth —
+    interpret-mode tests alone proved insufficient (pltpu.repeat
+    tiles on hardware but np-repeats in interpret mode, CLAUDE.md).
+    Exact checks at test shapes (tests/test_ivf.py families)."""
+    import jax
+    import tinyknn_tpu as tk
+    if jax.default_backend() != "tpu":
+        log("hw gates skipped: not on tpu")
+        return
+    rng = np.random.default_rng(15)
+    n, d, nq = 600, 16, 32
+    X = rng.standard_normal((n, d)).astype(np.float32)
+    qs = rng.standard_normal((nq, d)).astype(np.float32)
 
-        np.asarray(sweep_big(qbb))
-        elb = float("inf")
-        for _ in range(3):
-            t0 = time.time()
-            np.asarray(sweep_big(qbb))
-            elb = min(elb, time.time() - t0)
-        log(f"batch={nq_big}: {reps_b*nq_big/elb:.0f} QPS "
-            f"({elb/reps_b*1000:.2f}ms per batch)")
+    # fused fold kernel (int8 + bf16 table encodings) vs XLA oracle
+    for td in ("int8", "bf16"):
+        idx = tk.IVF("euclidean", 16,
+                     tk.FastPQ(2, seed=3, table_dtype=td),
+                     scan_impl="xla", pass1_method="exact")
+        idx.fit(X).build(X, n_probes=2)
+        a = np.asarray(idx.query(qs, k=8, n_probes=4, mode="bucket"))
+        idx.set_scan_impl("fused")
+        b = np.asarray(idx.query(qs, k=8, n_probes=4, mode="bucket"))
+        bad = 0
+        for i in range(nq):
+            da = np.sort(((X[a[i]] - qs[i]) ** 2).sum(-1))
+            db = np.sort(((X[b[i]] - qs[i]) ** 2).sum(-1))
+            if not np.allclose(da, db, rtol=1e-5):
+                bad += 1
+        log(f"hw gate scan_fold_csr[{td}] fused-vs-xla: "
+            f"{bad}/{nq} mismatched queries")
+        res[f"gate_fold_{td}_mismatches"] = bad
+
+    # exact-distance kernel: full probe coverage must reproduce true kNN
+    trus = np.asarray(tk.knn_brute(qs, X, k=8))
+    ex = tk.IVF("euclidean", 8, tk.FastPQ(2, rotate_dim=None),
+                scan_impl="exact")
+    ex.fit(X).build(X, n_probes=1)
+    got = np.asarray(ex.query(qs, k=8, n_probes=8))
+    rec = float(np.mean([len(set(g.tolist()) & set(t.tolist())) / 8
+                         for g, t in zip(got, trus)]))
+    log(f"hw gate scan_exact_csr full-probe vs brute: recall={rec:.4f}")
+    res["gate_exact_recall"] = round(rec, 4)
+
+
+def glove_scale_ivf(res):
+    """The north-star workload (BASELINE.md): GloVe-scale IVF,
+    1,183,514 points x 100d angular, 10k queries, 1,087 clusters,
+    dpb=2, build_probes=1 — the deterministic `clustered-1183514-100`
+    dataset of examples/bench.py. Reports sustained QPS + recall10@10
+    for (a) the PQ scan path and (b) the exact-scan frontier; reference
+    publishes 4,727 QPS at recall 0.374 (README.md:132-133).
+
+    Loads the cached index/ground-truth archives when present (the
+    sweep harness writes them; a load costs seconds vs minutes for a
+    rebuild) and rebuilds + caches them when not."""
+    import jax.numpy as jnp
+    import tinyknn_tpu as tk
+    from tinyknn_tpu.io import load_ivf, save_ivf
+
+    size, dim, nq, k = 1183514, 100, 10000, 10
+    rng = np.random.default_rng(10)
+    n_comp = int((size + nq) ** 0.5)
+    centers = rng.standard_normal((n_comp, dim), dtype=np.float32)
+    which = rng.integers(0, n_comp, size + nq)
+    data = centers[which] + 0.5 * rng.standard_normal(
+        (size + nq, dim), dtype=np.float32)
+    data, queries = data[:-nq], data[-nq:]
+
+    trus_file = ("trus_clustered-1183514-100_k_neighbours=10_"
+                 "num_queries=10000_metric='angular'.npy")
+    if os.path.isfile(trus_file):
+        trus = np.load(trus_file)
+    else:
+        log("computing GloVe-scale ground truth (TPU brute force)...")
+        trus = np.asarray(tk.knn_brute(queries, data, k, metric="angular"))
+        np.save(trus_file, trus)
+    true_sets = [set(t.tolist()) for t in trus]
+
+    ivf_file = ("ivf_clustered-1183514-100_angular_num_clusters=1087_"
+                "dims_per_block=2_build_probes=1.npz")
+    t0 = time.time()
+    if os.path.isfile(ivf_file):
+        ivf = load_ivf(ivf_file)
+        log(f"loaded cached GloVe index in {time.time()-t0:.1f}s")
+    else:
+        log("building GloVe-scale index (several minutes)...")
+        ivf = tk.IVF("angular", 1087, tk.FastPQ(2))
+        ivf.fit(data).build(data, n_probes=1)
+        save_ivf(ivf_file, ivf)
+        log(f"fit+build+save: {time.time()-t0:.1f}s")
+        res["glove_build_s"] = round(time.time() - t0, 1)
+
+    def sustained(ivf_obj, n_probes, pass_1=None, reps=5):
+        jq = jnp.asarray(
+            queries[None]
+            + np.arange(reps, dtype=np.float32)[:, None, None] * 1e-6)
+        out = np.asarray(ivf_obj.query_stream(
+            jq, k=k, n_probes=n_probes, pass_1=pass_1))  # warm/compile
+        el = _best_of(lambda: np.asarray(ivf_obj.query_stream(
+            jq, k=k, n_probes=n_probes, pass_1=pass_1)))
+        qps = reps * nq / el
+        found = sum(len(true_sets[i] & set(g.tolist()))
+                    for i, g in enumerate(np.asarray(out[0])))
+        return qps, found / (k * nq)
+
+    # (a) PQ path at P=1 with the sweep harness's 4x pass-1 pool
+    # (examples/bench.py --pass1-mult default): the recall>=0.374
+    # operating point
+    qps_pq, rec_pq = sustained(ivf, n_probes=1,
+                               pass_1=4 * (2 * k + 1))
+    log(f"GloVe PQ path P=1: recall10@10={rec_pq:.4f} "
+        f"QPS={qps_pq:,.0f} (reference 0.374 @ 4,727)")
+    res["glove_pq_qps"] = round(qps_pq, 1)
+    res["glove_pq_recall"] = round(rec_pq, 4)
+    res["glove_vs_cython_at_0374"] = (
+        round(qps_pq / 4727.14, 2) if rec_pq >= 0.374 else 0.0)
+
+    # (b) exact-scan frontier: recall>=0.9 point (bf16 true-distance
+    # scan + thin f32 rescore; derived state built on device)
+    t0 = time.time()
+    ivf.set_scan_impl("exact")
+    log(f"derived exact-mode tiles in {time.time()-t0:.1f}s")
+    qps_ex, rec_ex = sustained(ivf, n_probes=1)
+    log(f"GloVe exact path P=1: recall10@10={rec_ex:.4f} "
+        f"QPS={qps_ex:,.0f}")
+    res["glove_exact_qps"] = round(qps_ex, 1)
+    res["glove_exact_recall"] = round(rec_ex, 4)
+
+
+def run_workload():
+    import jax
+    import tinyknn_tpu as tk
+    tk.utils.enable_compilation_cache()
+    log(f"backend: {jax.default_backend()}, devices: {jax.devices()}")
+
+    res = {}
+    fastpq_fullscan(res)            # headline — let failures propagate
+    notes = []
+    for section in (hw_gate_production_kernels, glove_scale_ivf):
+        try:
+            section(res)
+        except Exception as e:       # auxiliary metrics must not zero
+            log(f"section {section.__name__} failed: "
+                f"{type(e).__name__}: {e}")
+            notes.append(f"{section.__name__} failed")
 
     # ---- verdict
     # Gate at measured parity: the reference's published 1.0/19.0 is an
     # unseeded single run; its own sklearn codebook under an exact f32
     # estimator yields median 2.0 on seeded data (docs/PERFORMANCE.md,
-    # "Quality parity"), so 2.0/25 is the honest tight gate.
+    # "Quality parity"), so 2.0/25 is the honest tight gate. The
+    # production-kernel hardware gates and the GloVe recall floor
+    # (when measured) gate too: speed can't be bought with broken math.
     baseline = 7101.26
-    quality_ok = (med <= 2.0 and q90 <= 25.0 and recall >= 0.85
-                  and kernel_diff == 0)
+    quality_ok = (
+        res.get("rank_median", 99) <= 2.0
+        and res.get("rank_q90", 99) <= 25.0
+        and res.get("search_recall1_at_10", 0) >= 0.85
+        and res.get("gate_estimate_kernel_diff", 0) == 0
+        and res.get("gate_fold_int8_mismatches", 0) == 0
+        and res.get("gate_fold_bf16_mismatches", 0) == 0
+        and res.get("gate_exact_recall", 1.0) >= 0.99
+        and res.get("glove_pq_recall", 1.0) >= 0.374
+    )
     if not quality_ok:
         log("QUALITY GATE FAILED — reporting vs_baseline=0")
-    result = {
+    out = {
         "metric": "fastpq_fullscan_qps_n16000_d128_dpb2",
-        "value": round(qps, 1),
+        "value": res.get("value", 0.0),
         "unit": "queries/s",
-        "vs_baseline": round(qps / baseline, 2) if quality_ok else 0.0,
+        "vs_baseline": (round(res.get("value", 0.0) / baseline, 2)
+                        if quality_ok else 0.0),
     }
-    print(json.dumps(result))
+    for key in ("glove_pq_qps", "glove_pq_recall",
+                "glove_vs_cython_at_0374", "glove_exact_qps",
+                "glove_exact_recall", "search_qps",
+                "search_recall1_at_10", "rank_median", "rank_q90",
+                "glove_build_s"):
+        if key in res:
+            out[key] = res[key]
+    if notes:
+        out["note"] = "; ".join(notes)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
-    main()
+    if "--run" in sys.argv[1:]:
+        run_workload()
+    else:
+        main()

@@ -58,6 +58,26 @@ void fill_inverted_lists(const int32_t* assignments, int64_t n, int64_t p,
     }
 }
 
+// Scatter point ids into the lane-tiled CSR layout (the production
+// index-build path, utils/grouping.py invert_assignments_csr_tiled):
+// list c's members go to flat positions tile_offsets[c]*tile + k in
+// first-seen order, which matches the NumPy stable-argsort path
+// bit-for-bit (both order by ascending i*p + j).
+// tile_offsets: (n_lists,) int32 in tiles; flat_ids pre-filled with -1
+// by the caller; cursors: (n_lists,) int32 scratch, zero-initialized.
+void fill_csr_tiled(const int32_t* assignments, int64_t n, int64_t p,
+                    int32_t n_lists, const int32_t* tile_offsets,
+                    int64_t tile, int32_t* flat_ids, int32_t* cursors) {
+    for (int64_t i = 0; i < n; ++i) {
+        for (int64_t j = 0; j < p; ++j) {
+            int32_t c = assignments[i * p + j];
+            if (c < 0 || c >= n_lists) continue;
+            int64_t pos = cursors[c]++;
+            flat_ids[(int64_t)tile_offsets[c] * tile + pos] = (int32_t)i;
+        }
+    }
+}
+
 // Read an .fvecs file (repeated records: int32 dim + dim float32s).
 // First call with out == nullptr to get (n, d) via n_out/d_out;
 // second call with an (n*d) float buffer.

@@ -1,6 +1,7 @@
 """IVF recall floors and edge cases (reference: tests/test_ivf.py)."""
 
 import numpy as np
+import pytest
 
 from tinyknn_tpu import FastPQ, IVF, knn_brute
 
@@ -468,3 +469,16 @@ def test_rescore_rows_matches_default(tmp_path):
         assert b2.csr_raw is not None
         np.testing.assert_array_equal(
             np.asarray(b2.query(qs, k=7, n_probes=4)), b)
+
+
+def test_query_stream_exact_guard():
+    """query_stream mirrors query()'s exact-mode precondition: a clear
+    error instead of a cryptic NoneType jit trace when scan_impl is
+    'exact' but the bf16 vector tiles were never built."""
+    rng = np.random.default_rng(13)
+    X = rng.standard_normal((200, 8)).astype(np.float32)
+    ivf = IVF("euclidean", 8, FastPQ(2, rotate_dim=None))
+    ivf.fit(X).build(X, n_probes=2)
+    ivf.scan_impl = "exact"  # bypass set_scan_impl on purpose
+    with pytest.raises(AssertionError, match="scan_impl='exact'"):
+        ivf.query_stream(np.zeros((1, 4, 8), np.float32), k=3)

@@ -60,44 +60,48 @@ def test_estimate_tiled_matches_xla(n, b, q):
     np.testing.assert_array_equal(a[:, :n], x)
 
 
-def _csr_oracle(tables, codes, flat_ids, tile_offsets, counts, r, W):
-    """Exact NumPy model of scan_select_csr: per (cluster, query slot),
-    fold list positions into W*128 classes keeping the (value, position)
-    minimum, then the r smallest class survivors."""
-    C, qc, M = tables.shape
+def _fold_oracle(tables_perm, codes, flat_ids, tile_offsets, counts,
+                 W, max_tiles, B_enc=None):
+    """Exact NumPy model of scan_fold_csr's int8 path: per (cluster,
+    query slot, position class) the encoded minimum
+    ``((est + 128B) << col_bits) | position`` over list positions
+    congruent to the class (class = (p // 128 % W) * 128 + p % 128),
+    or 2^31-1 where the class is empty."""
+    C, qc, M = tables_perm.shape
     B = M // 16
-    vals = np.full((C, r, qc), 3.4e38, np.float32)
-    pos_out = np.full((C, r, qc), -1, np.int32)
+    col_bits = max(1, (max_tiles * 128 - 1).bit_length())
+    # the kernel's bias uses the PADDED storage block count (phantom
+    # zero blocks from Bs-padding shift every estimate equally)
+    bias = 128 * (B_enc if B_enc is not None else B)
+    S = W * 128
+    enc = np.full((C, qc, S), 2**31 - 1, np.int64)
     for c in range(C):
         L = int(counts[c])
         ids = flat_ids[tile_offsets[c] * 128:tile_offsets[c] * 128 + L]
-        t = tables[c].reshape(qc, 16, B)          # tiled layout row v*B+b
+        t = tables_perm[c].reshape(qc, 16, B)    # tiled layout row v*B+b
         for q in range(qc):
             est = np.array([sum(int(t[q, codes[i, b], b])
                                 for b in range(B)) for i in ids])
-            cls = (np.arange(L) // 128 % W) * 128 + np.arange(L) % 128
-            best = {}
             for p in range(L):
-                key = (int(est[p]), p)
-                if cls[p] not in best or key < best[cls[p]]:
-                    best[cls[p]] = key
-            top = sorted(best.values())[:r]
-            for j, (v, p) in enumerate(top):
-                vals[c, j, q] = v
-                pos_out[c, j, q] = p
-    return vals, pos_out
+                j = (p // 128 % W) * 128 + p % 128
+                e = ((int(est[p]) + bias) << col_bits) | p
+                enc[c, q, j] = min(enc[c, q, j], e)
+    return enc.astype(np.int32)
 
 
 @pytest.mark.parametrize("W, tps", [(1, 1), (2, 1), (2, 2)])
-def test_scan_select_csr_matches_oracle(W, tps):
+def test_scan_fold_csr_matches_oracle(W, tps):
+    """The production IVF scan kernel vs an independent NumPy oracle
+    (reference test family 1, tests/test_pq.py:12-53): the emitted fold
+    buffer must hold exactly the per-class encoded minima."""
     from tinyknn_tpu.ops.kernels import (
         pack_codes_tiled, permute_tables_csr, permute_tables_tiled,
-        scan_select_csr)
+        scan_fold_csr)
     from tinyknn_tpu.ops.packing import pack_codes
     from tinyknn_tpu.utils.grouping import (
         csr_scan_map, invert_assignments_csr_tiled)
     rng = np.random.default_rng(3)
-    n, B, C, qc, r = 500, 8, 4, 8, 6
+    n, B, C, qc = 500, 8, 4, 8
     # skewed assignment incl. an empty list and a >128-long list
     assign = rng.choice(C, size=(n, 1), p=[0.7, 0.25, 0.05, 0.0])
     codes = rng.integers(0, 16, size=(n, B), dtype=np.uint8)
@@ -112,13 +116,13 @@ def test_scan_select_csr_matches_oracle(W, tps):
     max_tiles = max(1, int(-(-counts.max() // 128)))
     smap = csr_scan_map(toff, counts, codes_tiled.shape[0],
                         tiles_per_step=tps)
-    v, p = scan_select_csr(t_k, codes_tiled, *smap, counts, r,
-                           fold_tiles=W, max_tiles=max_tiles,
-                           tiles_per_step=tps, interpret=True)
-    ev, ep = _csr_oracle(permute_tables_tiled(tables, B), codes,
-                         flat_ids, toff, counts, r, W)
-    np.testing.assert_array_equal(np.asarray(p), ep)
-    np.testing.assert_array_equal(np.asarray(v), ev)
+    enc = np.asarray(scan_fold_csr(
+        t_k, codes_tiled, *smap, counts, fold_tiles=W,
+        max_tiles=max_tiles, tiles_per_step=tps, interpret=True))
+    want = _fold_oracle(np.asarray(permute_tables_tiled(tables, B)),
+                        codes, flat_ids, toff, counts, W, max_tiles,
+                        B_enc=t_k.shape[2] // 16)
+    np.testing.assert_array_equal(enc, want)
 
 
 def test_csr_tiled_builder():
@@ -137,27 +141,6 @@ def test_csr_tiled_builder():
         pad = flat[toff[c] * 128 + counts[c]:
                    (toff[c] + -(-counts[c] // 128)) * 128]
         assert np.all(pad == -1)
-
-
-def test_scan_select_packed_matches_unpacked():
-    """Fused scan+select kernel: packed and unpacked inputs give
-    identical candidates (interpret mode)."""
-    from tinyknn_tpu.ops.kernels import (
-        permute_tables_tiled, scan_select_pallas)
-    from tinyknn_tpu.ops.packing import pack_codes
-    C, qc, cap, B, r = 3, 8, 32, 8, 5
-    codes = np.random.randint(0, 16, size=(C, cap, B), dtype=np.uint8)
-    counts = np.random.randint(1, cap + 1, size=(C,)).astype(np.int32)
-    tables = np.random.randint(-128, 128, size=(C, qc, B * 16)).astype(np.int8)
-    t_plain = np.asarray(permute_tables_tiled(tables, B))
-    t_packed = np.asarray(permute_tables_tiled(tables, B, packed=True))
-    v1, p1 = scan_select_pallas(t_plain, codes, counts, r, interpret=True)
-    v2, p2 = scan_select_pallas(
-        t_packed, np.asarray(pack_codes(codes.reshape(-1, B))).reshape(
-            C, cap, B // 2),
-        counts, r, packed=True, interpret=True)
-    np.testing.assert_array_equal(np.asarray(v1), np.asarray(v2))
-    np.testing.assert_array_equal(np.asarray(p1), np.asarray(p2))
 
 
 def test_scan_fold_csr_float_tables_exact():

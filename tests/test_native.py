@@ -39,3 +39,23 @@ def test_fvecs_roundtrip(tmp_path):
     finally:
         nat._LIB, nat._TRIED = old
     np.testing.assert_array_equal(out2, X)
+
+
+def test_native_csr_tiled_matches_numpy():
+    """The production build path's native counting-sort scatter must
+    be bit-identical to the NumPy argsort builder (including empty
+    lists, spill columns, and align_tiles kernel-step alignment)."""
+    if get_lib() is None:
+        pytest.skip("native toolchain unavailable")
+    from tinyknn_tpu.utils.grouping import invert_assignments_csr_tiled
+    rng = np.random.default_rng(4)
+    for n, c, p, at in [(500, 13, 3, 1), (64, 5, 1, 2), (1000, 31, 2, 1)]:
+        # skew so some lists are empty and one exceeds a tile
+        probs = rng.random(c) ** 3
+        probs /= probs.sum()
+        a = rng.choice(c, size=(n, p), p=probs).astype(np.int32)
+        got = invert_assignments_csr_tiled(a, c, align_tiles=at)
+        want = invert_assignments_csr_tiled(a, c, align_tiles=at,
+                                            use_native=False)
+        for g, w in zip(got, want):
+            np.testing.assert_array_equal(g, w)

@@ -235,3 +235,56 @@ def test_sharded_exact_mode(mesh):
         np.stack([qs, qs]), k=5, n_probes=3))
     np.testing.assert_array_equal(stream[0], b)
     np.testing.assert_array_equal(stream[1], b)
+
+
+def test_sharded_set_scan_impl_after_place(mesh):
+    """Switching a PLACED sharded index to exact mode must derive the
+    bf16 vector tiles through the per-shard placement — parity with an
+    index built with scan_impl='exact' from the start (round-3 review:
+    the inherited base derivation produced mis-placed arrays)."""
+    rng = np.random.default_rng(11)
+    n, d, nq = 600, 12, 16
+    X = rng.standard_normal((n, d)).astype(np.float32)
+    qs = rng.standard_normal((nq, d)).astype(np.float32)
+
+    fresh = ShardedIVF("euclidean", 12,
+                       FastPQ(2, seed=7, rotate_dim=None),
+                       mesh=mesh, seed=3, scan_impl="exact")
+    fresh.fit(X).build(X, n_probes=2)
+    switched = ShardedIVF("euclidean", 12,
+                          FastPQ(2, seed=7, rotate_dim=None),
+                          mesh=mesh, seed=3)
+    switched.fit(X).build(X, n_probes=2)
+    switched.set_scan_impl("exact")
+    a = np.asarray(fresh.query(qs, k=5, n_probes=3))
+    b = np.asarray(switched.query(qs, k=5, n_probes=3))
+    np.testing.assert_array_equal(a, b)
+    # switching away frees the derived tiles and the PQ path works
+    switched.set_scan_impl("auto")
+    assert switched.csr_vecs is None
+    np.asarray(switched.query(qs, k=5, n_probes=3))
+    # set_rescore_rows never allocates the (mis-placed) global raw copy
+    switched.set_rescore_rows(True)
+    assert switched.csr_raw is None
+
+
+def test_sharded_load_skips_single_device_derived(mesh, tmp_path):
+    """load_sharded_ivf must not build or retain single-device derived
+    arrays (exact bf16 tiles are derived per-shard by _place; csr_raw
+    is never read by the sharded query) — advisor r3."""
+    from tinyknn_tpu.io import load_sharded_ivf, save_ivf
+    rng = np.random.default_rng(12)
+    n, d, nq = 500, 10, 12
+    X = rng.standard_normal((n, d)).astype(np.float32)
+    qs = rng.standard_normal((nq, d)).astype(np.float32)
+    sivf = ShardedIVF("euclidean", 12, FastPQ(2, rotate_dim=None),
+                      mesh=mesh, seed=1, scan_impl="exact",
+                      rescore_rows=True)
+    sivf.fit(X).build(X, n_probes=2)
+    a = np.asarray(sivf.query(qs, k=5, n_probes=3))
+    path = tmp_path / "sivf_exact.npz"
+    save_ivf(path, sivf)
+    sivf2 = load_sharded_ivf(path, mesh=mesh)
+    assert sivf2.csr_raw is None  # never read by the sharded path
+    b = np.asarray(sivf2.query(qs, k=5, n_probes=3))
+    np.testing.assert_array_equal(a, b)

@@ -180,7 +180,12 @@ def _dense_grid_to_csr(list_codes, list_ids, counts):
             counts.astype(np.int32))
 
 
-def load_ivf(path) -> IVF:
+def load_ivf(path, skip_derived: bool = False) -> IVF:
+    """Restore an IVF from an archive. ``skip_derived=True`` skips
+    building the single-device derived arrays (exact mode's bf16 tiles,
+    rescore_rows' raw-row copy) — used by ``load_sharded_ivf``, whose
+    ``_place()`` derives per-shard versions itself and never reads the
+    single-device ones."""
     with np.load(path) as data:
         meta = json.loads(bytes(data["ivf_meta"]).decode())
         pq = _pq_restore(data)
@@ -218,15 +223,6 @@ def load_ivf(path) -> IVF:
             csr_codes, csr_ids, tile_offsets, list_counts = (
                 _dense_grid_to_csr(codes, list_ids, counts))
         ivf.csr_codes = jnp.asarray(csr_codes)
-        if ivf.build_probes is None:
-            # pre-v3 archives carry no build_probes; an under-estimate
-            # would under-size the duplicate-aware f*pass_1 selection
-            # (models/ivf.py stage 4). The exact bound is the max
-            # spill multiplicity of any id across the lists — one
-            # bincount at load time.
-            pos = csr_ids[csr_ids >= 0]
-            ivf.build_probes = (int(np.bincount(pos).max())
-                                if pos.size else 1)
         ivf.csr_ids = jnp.asarray(csr_ids)
         ivf.tile_offsets = jnp.asarray(tile_offsets)
         ivf.list_counts = jnp.asarray(list_counts)
@@ -236,15 +232,25 @@ def load_ivf(path) -> IVF:
         ivf.scan_map = tuple(jnp.asarray(a) for a in csr_scan_map(
             tile_offsets, list_counts, csr_codes.shape[0]))
         ivf.data = jnp.asarray(data["data"])
+        if ivf.build_probes is None:
+            # pre-v3 archives carry no build_probes; an under-estimate
+            # would under-size the duplicate-aware f*pass_1 selection
+            # (models/ivf.py stage 4). build() places every point in
+            # exactly build_probes lists, so the spill bound is simply
+            # sum(list_counts) / n_rows — O(C), with no O(n) bincount
+            # transient at load time.
+            n_rows = max(1, int(ivf.data.shape[0]))
+            total = int(np.asarray(list_counts, np.int64).sum())
+            ivf.build_probes = max(1, int(round(total / n_rows)))
         # exact mode's raw bf16 tiles are derived state — rebuild from
         # (data, csr_ids) rather than doubling the archive size
         ivf.csr_vecs = None
-        if ivf.scan_impl == "exact":
+        if ivf.scan_impl == "exact" and not skip_derived:
             from .models.ivf import _augment_data_csr
             ivf.csr_vecs = _augment_data_csr(ivf.data, ivf.csr_ids)
         # CSR-ordered raw rows (rescore_rows) are derived state too
         ivf.csr_raw = None
-        if getattr(ivf, "rescore_rows", False):
+        if getattr(ivf, "rescore_rows", False) and not skip_derived:
             from .models.ivf import _csr_raw_rows
             ivf.csr_raw = _csr_raw_rows(ivf.data, ivf.csr_ids)
         return ivf
@@ -257,7 +263,11 @@ def load_sharded_ivf(path, mesh=None, axis="shards", query_axis=None,
     index was saved from (the archive stores the unsharded CSR)."""
     from .parallel.sharded_ivf import ShardedIVF
 
-    base = load_ivf(path)
+    # skip_derived: _place() derives per-shard exact tiles itself, and
+    # the sharded rescore never reads csr_raw (it gathers from its
+    # per-shard list_vecs) — don't build or retain the single-device
+    # versions (advisor r3).
+    base = load_ivf(path, skip_derived=True)
     sivf = ShardedIVF.__new__(ShardedIVF)
     sivf.__dict__.update(base.__dict__)
     from .parallel.mesh import make_mesh

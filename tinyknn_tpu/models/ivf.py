@@ -256,6 +256,10 @@ class IVF:
                 "exact mode: longest list exceeds the 16-bit fold "
                 "position field; raise n_clusters")
             self.csr_vecs = _augment_data_csr(self.data, self.csr_ids)
+        elif scan_impl != "exact":
+            # free the bf16 tile copy on disable (symmetric with
+            # set_rescore_rows; it is derived state, rebuilt on demand)
+            self.csr_vecs = None
         return self
 
     def set_rescore_rows(self, enabled=True):
@@ -607,6 +611,10 @@ class _StreamMixin:
                                        ((qc0, r), (qc, r_tail)),
                                        fold_mult)
                          else "xla")
+        if scan_impl == "exact":
+            assert self.csr_vecs is not None, (
+                "exact mode requires an index built with "
+                "scan_impl='exact' (raw vector tiles)")
         codes_arg = (self.csr_vecs if scan_impl == "exact"
                      else self.csr_codes)
         out, dropped = _ivf_query_stream(

@@ -73,6 +73,11 @@ def get_lib():
             ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
             ctypes.c_int32, ctypes.c_int64, ctypes.c_void_p,
             ctypes.c_void_p]
+        lib.fill_csr_tiled.restype = None
+        lib.fill_csr_tiled.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_int32, ctypes.c_void_p, ctypes.c_int64,
+            ctypes.c_void_p, ctypes.c_void_p]
         lib.read_fvecs.restype = ctypes.c_int32
         lib.read_fvecs.argtypes = [
             ctypes.c_char_p, ctypes.c_void_p, ctypes.c_void_p,
@@ -104,6 +109,35 @@ def invert_assignments_native(assignments, n_lists: int, pad_to: int = 8):
     lib.fill_inverted_lists(a.ctypes.data, n, p, n_lists, cap,
                             ids.ctypes.data, cursors.ctypes.data)
     return ids, counts
+
+
+def invert_assignments_csr_tiled_native(assignments, n_lists: int,
+                                        tile: int = 128,
+                                        align_tiles: int = 1):
+    """Native counting-sort build of the lane-tiled CSR inverted lists
+    (same contract as utils.grouping.invert_assignments_csr_tiled,
+    bit-identical output), or None when the library is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    a = np.ascontiguousarray(assignments, dtype=np.int32)
+    if a.ndim == 1:
+        a = a[:, None]
+    n, p = a.shape
+    counts = np.zeros(n_lists, dtype=np.int32)
+    lib.count_list_sizes(a.ctypes.data, n, p, n_lists, counts.ctypes.data)
+    ntiles = -(-counts.astype(np.int64) // tile)
+    if align_tiles > 1:
+        ntiles = -(-ntiles // align_tiles) * align_tiles
+    tile_offsets64 = np.zeros(n_lists, dtype=np.int64)
+    np.cumsum(ntiles[:-1], out=tile_offsets64[1:])
+    total = int(ntiles.sum()) + max(1, align_tiles)  # + guard tile(s)
+    flat_ids = np.full(total * tile, -1, dtype=np.int32)
+    toff32 = tile_offsets64.astype(np.int32)
+    cursors = np.zeros(n_lists, dtype=np.int32)
+    lib.fill_csr_tiled(a.ctypes.data, n, p, n_lists, toff32.ctypes.data,
+                       tile, flat_ids.ctypes.data, cursors.ctypes.data)
+    return flat_ids, toff32, counts
 
 
 def read_fvecs(path):

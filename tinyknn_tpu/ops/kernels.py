@@ -16,8 +16,12 @@ in-kernel transposes:
     (the dispatcher's TPU default, ~40% over the XLA one-hot matmul);
   * scan_fold_csr: the IVF inner loop over CSR ragged lists — scan +
     encoded min-fold, emitting the fold buffer (no in-kernel top-r);
-  * scan_select_pallas / scan_select_csr: earlier dense-grid and
-    top-r-extracting variants, kept as tested building blocks.
+  * scan_exact_csr: the same ragged walk over raw bf16 vector tiles,
+    computing true squared distances on the MXU (scan_impl='exact').
+
+(Earlier dense-grid and in-kernel top-r-extracting variants —
+scan_select_pallas / scan_select_csr — were superseded by the fold-emit
+kernels and removed in round 4; see git history.)
 
 On non-TPU backends kernels run in interpret mode (tests); the
 dispatcher in ops/scan.py picks the Pallas path on TPU.
@@ -101,191 +105,7 @@ def register():
 register()
 
 
-# --------------------------------------------------------------------
-# Fused scan+select kernel: the IVF inner loop.
-#
-# For one cluster: est = tables_sel @ one_hot(codes)^T on the MXU, then
-# the top-r smallest entries per query slot are extracted *in VMEM*
-# (iterative min-extraction on the VPU). Nothing of the (qc, cap)
-# estimate matrix ever reaches HBM — in the XLA path its HBM round trip
-# plus approx_max_k dominate the query (see docs/PERFORMANCE.md).
-# This is the TPU-native rendering of the reference's
-# query_pq scan-plus-heap (reference: tinyknn/_fast_pq.pyx:114-206).
-# --------------------------------------------------------------------
-
 _ENC_BIG = 2**31 - 1  # invalid-entry sentinel in the encoded domain
-
-
-def _scan_select_kernel(counts_ref, tsel_ref, codes_ref, vals_ref, idx_ref,
-                        *, r: int, segments: int = 1, packed: bool = False,
-                        enc_bias: int = 0, col_bits: int = 0):
-    """Per-cluster fused scan + top-r.
-
-    Selection runs in an *encoded int32 domain*: enc = (est + enc_bias)
-    << col_bits | column. One vector min then yields the best value AND
-    its column together (ties break to the lowest column, like
-    lax.top_k), so each extraction is one reduce plus one
-    invalidation pass — the unencoded form needed an argmin
-    reconstruction and separate value/index bookkeeping (~2.5x more VPU
-    passes). col_bits=0 disables encoding (value-range guard failed;
-    float fallback).
-    """
-    tsel = tsel_ref[0]                           # (qc, M) int8
-    codes = codes_ref[0]                         # (cap, B or B/2) uint8
-    count = counts_ref[pl.program_id(0)]         # valid prefix length
-    codes = codes.astype(jnp.int32)
-    if packed:
-        codes = _unpack_evens_odds(codes)        # 4-bit HBM, unpacked here
-    cap, B = codes.shape
-    qc = tsel.shape[0]
-    # tiled one-hot; tables were permuted to match outside.
-    onehot = _onehot_tiled(codes)
-    est = jax.lax.dot_general(
-        tsel, onehot, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.int32)        # (qc, cap)
-    col = jax.lax.broadcasted_iota(jnp.int32, (qc, cap), 1)
-
-    if col_bits > 0:
-        enc = jax.lax.shift_left(est + jnp.int32(enc_bias),
-                                 jnp.int32(col_bits)) | col
-        enc = jnp.where(col < count, enc, _ENC_BIG)
-        mask = jnp.int32((1 << col_bits) - 1)
-
-        def emit(j, m):                          # m: (qc,) int32 minima
-            valid = m < _ENC_BIG
-            v = (jax.lax.shift_right_logical(m, jnp.int32(col_bits))
-                 - jnp.int32(enc_bias)).astype(jnp.float32)
-            vals_ref[0, j, :] = jnp.where(valid, v, jnp.float32(3.4e38))
-            idx_ref[0, j, :] = jnp.where(valid, m & mask, cap)
-
-        if segments == 1:
-            def body(j, enc):
-                m = jnp.min(enc, axis=1)
-                emit(j, m)
-                return jnp.where(enc == m[:, None], _ENC_BIG, enc)
-
-            jax.lax.fori_loop(0, r, body, enc)
-            return
-
-        # Segmented (approximate) top-r: fold the width `segments`-fold
-        # by strided minimum — the encoding keeps the *global* column in
-        # the low bits, so the fold needs no argument tracking — then
-        # extract from the folded (qc, cap/segments) tile. At most one
-        # candidate per folded position survives (the same relaxation
-        # approx_max_k makes); the downstream exact rescore absorbs it.
-        S = cap // segments
-        folded = enc[:, :S]
-        for s in range(1, segments):
-            folded = jnp.minimum(folded, enc[:, s * S:(s + 1) * S])
-
-        def body(j, folded):
-            m = jnp.min(folded, axis=1)
-            emit(j, m)
-            return jnp.where(folded == m[:, None], _ENC_BIG, folded)
-
-        jax.lax.fori_loop(0, r, body, folded)
-        return
-
-    # ---- float fallback (value range too wide for int32 encoding)
-    est = est.astype(jnp.float32)
-    big = jnp.float32(3.4e38)
-    est = jnp.where(col < count, est, big)       # mask list padding
-
-    if segments == 1:
-        def body(j, est):
-            m = jnp.min(est, axis=1)                         # (qc,)
-            am = jnp.min(jnp.where(est == m[:, None], col, cap), axis=1)
-            vals_ref[0, j, :] = m
-            idx_ref[0, j, :] = am
-            est = jnp.where(col == am[:, None], big, est)
-            return est
-
-        jax.lax.fori_loop(0, r, body, est)
-        return
-
-    S = cap // segments                          # segment width
-    seg_min = est[:, :S]
-    seg_col = jax.lax.broadcasted_iota(jnp.int32, (qc, S), 1)
-    seg_arg = seg_col
-    for s in range(1, segments):
-        sl = est[:, s * S:(s + 1) * S]
-        take = sl < seg_min
-        seg_arg = jnp.where(take, seg_col + s * S, seg_arg)
-        seg_min = jnp.where(take, sl, seg_min)
-
-    def body(j, carry):
-        seg_min, seg_arg = carry
-        m = jnp.min(seg_min, axis=1)
-        sm = jnp.min(jnp.where(seg_min == m[:, None], seg_col, S), axis=1)
-        winner_col = jnp.sum(
-            jnp.where(seg_col == sm[:, None], seg_arg, 0), axis=1)
-        vals_ref[0, j, :] = m
-        idx_ref[0, j, :] = jnp.where(m < big, winner_col, cap)
-        seg_min = jnp.where(seg_col == sm[:, None], big, seg_min)
-        return seg_min, seg_arg
-
-    jax.lax.fori_loop(0, r, body, (seg_min, seg_arg))
-
-
-@partial(jax.jit, static_argnames=("r", "segments", "packed", "interpret"))
-def scan_select_pallas(tables_sel, codes, counts, r: int,
-                       segments: int = 1, packed: bool = False,
-                       interpret: bool = False):
-    """Fused per-cluster scan + top-r selection.
-
-    tables_sel: int8[C, qc, M] — each cluster's bucketed query tables
-        (M = 16 * B, rows permuted to the tiled one-hot layout:
-        row v * B + b holds table[b, v]; when ``packed``, b is the
-        *storage* block order — permute_tables_tiled(packed=True)).
-    codes: uint8[C, cap, B], or uint8[C, cap, B/2] nibble-packed when
-        ``packed`` (4-bit HBM storage, unpacked in VMEM);
-    counts: int32[C] — valid prefix length of
-        each list (lists are built contiguous; padding is the suffix).
-    Returns (vals f32[C, r, qc], pos int32[C, r, qc]) — candidate
-    estimate values and positions within the list (cap = invalid).
-    The r-major layout keeps each extraction's write row-contiguous.
-    """
-    C, qc, M = tables_sel.shape
-    _, cap, Bs = codes.shape
-    B = 2 * Bs if packed else Bs
-    assert M == 16 * B
-    assert cap % segments == 0
-    counts1 = counts.reshape(C).astype(jnp.int32)
-    # int32 value+column encoding bounds (see _scan_select_kernel): the
-    # biased estimate needs log2(256B) bits, the column log2(cap).
-    col_bits = max(1, (cap - 1).bit_length())
-    enc_bias = 128 * B
-    if (255 * B + 1) << col_bits > 2**31 - 1:
-        col_bits = 0  # fall back to the float extraction path
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(C,),
-        in_specs=[
-            pl.BlockSpec((1, qc, M), lambda i, counts: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, cap, Bs), lambda i, counts: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=[
-            pl.BlockSpec((1, r, qc), lambda i, counts: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, r, qc), lambda i, counts: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-    )
-    vals, pos = pl.pallas_call(
-        partial(_scan_select_kernel, r=r, segments=segments,
-                packed=packed, enc_bias=enc_bias, col_bits=col_bits),
-        grid_spec=grid_spec,
-        out_shape=[
-            jax.ShapeDtypeStruct((C, r, qc), jnp.float32),
-            jax.ShapeDtypeStruct((C, r, qc), jnp.int32),
-        ],
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 2**20),
-        interpret=interpret,
-    )(counts1, tables_sel, codes)
-    return vals, pos
 
 
 # --------------------------------------------------------------------
@@ -412,18 +232,19 @@ def tile_codes(codes_packed):
 
 
 # --------------------------------------------------------------------
-# CSR ragged-list scan+select kernel.
+# CSR ragged-list fold-emit scan kernels (the IVF inner loop).
 #
-# The dense-grid kernel above pads every inverted list to the longest
-# list's capacity (~2x wasted scan work on Zipf-ish cluster sizes). Here
-# lists are stored ragged: codes live in a flat tile array
+# A dense (C, cap, ...) list grid would pad every inverted list to the
+# longest list's capacity (~2x wasted scan work on Zipf-ish cluster
+# sizes). Here lists are stored ragged: codes live in a flat tile array
 # uint8[T, Bs, 128] — each list occupies ceil(len/128) consecutive
 # (Bs, 128) tiles (points on lanes, nibble-packed block-pairs on
 # sublanes) — and the kernel walks list i's tiles with double-buffered
 # DMAs from HBM using scalar-prefetched tile offsets. Per tile:
 # unpack -> one-hot -> (qc, M) x (M, 128) MXU matmul -> encoded int32
-# min-fold into a static (qc, 128 * fold_tiles) buffer; after the walk,
-# r min-extraction passes emit the candidates. Only actual list tiles
+# min-fold into a static (qc, 128 * fold_tiles) buffer that IS the
+# kernel output (selection happens downstream with one bitcast
+# approx_max_k per query over the fold rows). Only actual list tiles
 # are ever read or scanned — the ragged-lists-on-a-dense-machine
 # problem SURVEY.md §7 names, solved with scalar prefetch.
 # (Reference sidesteps raggedness with Python lists: tinyknn/ivf.py:100.)
@@ -448,57 +269,6 @@ def _unpack_evens_odds_T(codes_i32):
     lo = jnp.bitwise_and(codes_i32, 15)
     hi = jnp.bitwise_and(jax.lax.shift_right_logical(codes_i32, 4), 15)
     return jnp.concatenate([lo, hi], axis=0)
-
-
-def _scan_select_csr_kernel(cl_ref, tile_ref, tpos_ref, last_ref,
-                            counts_ref, tsel_ref, codes_ref,
-                            vals_ref, idx_ref, folded,
-                            *, r: int, W: int, tps: int, enc_bias: int,
-                            col_bits: int):
-    t = pl.program_id(0)
-    tp = tpos_ref[t]
-    count = counts_ref[cl_ref[t]]
-    S = W * LANE_TILE
-    qc = folded.shape[1]
-
-    @pl.when(tp == 0)
-    def _():
-        folded[...] = jnp.full((S, qc), _ENC_BIG, jnp.int32)
-
-    for i in range(tps):                          # static unroll
-        codes = codes_ref[i].astype(jnp.int32)    # (Bs, 128)
-        codes = _unpack_evens_odds_T(codes)       # (B, 128)
-        onehot = _onehot_tiled_T(codes)           # (16B, 128) int8
-        # est transposed to (128, qc): candidates on sublanes, query
-        # slots on lanes — the fold/extraction reductions then run down
-        # sublanes (cheap) and every emit is one lane-contiguous row.
-        est = jax.lax.dot_general(
-            onehot, tsel_ref[0], (((0,), (1,)), ((), ())),
-            preferred_element_type=jnp.int32)     # (128, qc)
-        subl = jax.lax.broadcasted_iota(jnp.int32, est.shape, 0)
-        ti = tp * tps + i                         # 128-tile index in list
-        pos = ti * LANE_TILE + subl               # position within list
-        enc = jax.lax.shift_left(est + jnp.int32(enc_bias),
-                                 jnp.int32(col_bits)) | pos
-        enc = jnp.where(pos < count, enc, _ENC_BIG)
-        seg = pl.multiple_of(jax.lax.rem(ti, W) * LANE_TILE, LANE_TILE)
-        folded[pl.ds(seg, LANE_TILE), :] = jnp.minimum(
-            folded[pl.ds(seg, LANE_TILE), :], enc)
-
-    @pl.when(last_ref[t] == 1)
-    def _():
-        mask = jnp.int32((1 << col_bits) - 1)
-
-        def extract(j, f):
-            m = jnp.min(f, axis=0)                # (qc,)
-            valid = m < _ENC_BIG
-            v = (jax.lax.shift_right_logical(m, jnp.int32(col_bits))
-                 - jnp.int32(enc_bias)).astype(jnp.float32)
-            vals_ref[0, j, :] = jnp.where(valid, v, jnp.float32(3.4e38))
-            idx_ref[0, j, :] = jnp.where(valid, m & mask, -1)
-            return jnp.where(f == m[None, :], _ENC_BIG, f)
-
-        jax.lax.fori_loop(0, r, extract, folded[...])
 
 
 def _scan_fold_csr_kernel(cl_ref, tile_ref, tpos_ref, last_ref,
@@ -570,7 +340,9 @@ def scan_fold_csr(tables_sel, codes_tiled, scan_cl, scan_tile,
     """Ragged fused scan over CSR-tiled lists, emitting the encoded
     fold buffer per (cluster, query slot) instead of extracted top-r.
 
-    Same inputs as scan_select_csr. Returns enc int32[C, qc, S] with
+    Inputs: per-cluster bucketed tables (permute_tables_csr layout),
+    CSR code tiles (pack_codes_tiled) and the csr_scan_map flat-grid
+    step maps. Returns enc int32[C, qc, S] with
     S = fold_tiles * 128: entry [c, s, j] is the encoded
     ``(est + 128B) << col_bits | position`` minimum over list c's
     positions congruent to j (mod S) for query slot s, or 2^31-1 if
@@ -745,95 +517,6 @@ def scan_exact_csr(q_sel, vecs_tiled, scan_cl, scan_tile,
       scan_tpos.astype(jnp.int32), scan_last.astype(jnp.int32),
       counts.astype(jnp.int32), q_sel, vecs_tiled)
     return enc
-
-
-@partial(jax.jit, static_argnames=("r", "fold_tiles", "max_tiles",
-                                   "tiles_per_step", "interpret"))
-def scan_select_csr(tables_sel, codes_tiled, scan_cl, scan_tile,
-                    scan_tpos, scan_last, counts, r: int,
-                    fold_tiles: int = 4, max_tiles: int = 1,
-                    tiles_per_step: int = 1,
-                    interpret: bool = False):
-    """Ragged fused scan + top-r over CSR-tiled inverted lists.
-
-    Flat grid: ONE step per 128-point list tile (scan maps from
-    utils.grouping.csr_scan_map), so only actual list tiles are ever
-    read or scanned and Mosaic's grid pipeline overlaps each tile's DMA
-    with the previous tile's compute. Consecutive steps of one list
-    revisit the same table/output blocks (no re-fetch) and accumulate
-    an encoded min-fold in persistent scratch; the list's last step
-    extracts the top-r candidates.
-
-    tables_sel: int8[C, qc, M] bucketed query tables, rows in the
-        transposed-tiled one-hot layout with *storage* (evens-then-odds)
-        block order over the 8-padded packed width — permute_tables_csr.
-    codes_tiled: uint8[T, Bs_pad, 128] — nibble-packed code tiles
-        (invert_assignments_csr_tiled + pack_codes_tiled layout).
-    scan_cl, scan_tile, scan_tpos, scan_last: int32[G] flat-grid maps.
-    counts: int32[C] true list lengths.
-    r: candidates per (cluster, query slot).
-    fold_tiles: W — fold width in tiles; per query the fold keeps the
-        best candidate of each of the W*128 position classes (position
-        mod W*128), the same relaxation as approx_max_k.
-    max_tiles: longest list in tiles (static; sizes the position
-        bit-field of the encoded int32 domain).
-
-    Returns (vals f32[C, r, qc], pos int32[C, r, qc]) — estimate values
-    and positions *within the list* (-1 = no candidate).
-    """
-    C, qc, M = tables_sel.shape
-    B = M // 16
-    assert B == 2 * codes_tiled.shape[1], "codes must be nibble-packed"
-    assert codes_tiled.shape[2] == LANE_TILE
-    col_bits = max(1, (max_tiles * LANE_TILE - 1).bit_length())
-    enc_bias = 128 * B
-    assert (255 * B + 1) << col_bits <= 2**31 - 1, (
-        f"list too long for int32 encoding: max_tiles={max_tiles}, B={B};"
-        " use scan_impl='xla'")
-    W = fold_tiles
-    tps = tiles_per_step
-    assert codes_tiled.shape[0] % tps == 0, (
-        "storage must be aligned to tiles_per_step "
-        "(invert_assignments_csr_tiled align_tiles)")
-    G = scan_cl.shape[0]
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=5,
-        grid=(G,),
-        in_specs=[
-            pl.BlockSpec((1, qc, M),
-                         lambda t, cl, ti, tp, lst, cnt: (cl[t], 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((tps, codes_tiled.shape[1], LANE_TILE),
-                         lambda t, cl, ti, tp, lst, cnt: (ti[t], 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=[
-            pl.BlockSpec((1, r, qc),
-                         lambda t, cl, ti, tp, lst, cnt: (cl[t], 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, r, qc),
-                         lambda t, cl, ti, tp, lst, cnt: (cl[t], 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        scratch_shapes=[
-            pltpu.VMEM((W * LANE_TILE, qc), jnp.int32),
-        ],
-    )
-    vals, pos = pl.pallas_call(
-        partial(_scan_select_csr_kernel, r=r, W=W, tps=tps,
-                enc_bias=enc_bias, col_bits=col_bits),
-        grid_spec=grid_spec,
-        out_shape=[
-            jax.ShapeDtypeStruct((C, r, qc), jnp.float32),
-            jax.ShapeDtypeStruct((C, r, qc), jnp.int32),
-        ],
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 2**20),
-        interpret=interpret,
-    )(scan_cl.astype(jnp.int32), scan_tile.astype(jnp.int32),
-      scan_tpos.astype(jnp.int32), scan_last.astype(jnp.int32),
-      counts.astype(jnp.int32), tables_sel, codes_tiled)
-    return vals, pos
 
 
 @jax.jit

@@ -8,6 +8,15 @@ across successive scans (clusters probed one at a time), and a sort-based
 dedup handles labels spilled into several lists by build_probes > 1
 (reference dedups inside the heap, tinyknn/_fast_pq.pyx:285-287).
 
+The production query pipeline uses ``smallest_k`` and
+``dedup_candidates``; ``streaming_topk_init`` / ``merge_topk`` /
+``masked_smallest_k`` are the public API-parity analogue of the
+reference's *exported* heap kernels (``init_heap`` / ``insert``,
+re-exported at tinyknn/__init__.py:1-6 and exercised by its
+tests/test_heap.py) — user code that drove the reference's heap
+directly ports to these; tests/test_topk.py mirrors the reference's
+heap test family (SURVEY.md §4.3).
+
 Everything here uses smaller-is-better semantics (distances) and static
 shapes. Invalid slots carry value ``INF_SCORE`` and index ``-1``.
 """

@@ -154,6 +154,38 @@ class ShardedIVF(IVF):
         self._shard_tiles = T_l
         self._shard_meta = (starts, stops, Cl, C)  # for save_ivf
 
+    def set_scan_impl(self, scan_impl):
+        """Switch the list-scan engine on a (possibly placed) sharded
+        index. On a placed index the exact engine's bf16 vector tiles
+        must be derived from the per-shard stacked ids and sharded like
+        ``_place()`` does — the base-class derivation would leave an
+        array whose placement doesn't match the mesh layout the sharded
+        query expects."""
+        assert scan_impl in ("auto", "fused", "xla", "exact")
+        self.scan_impl = scan_impl
+        if scan_impl != "exact":
+            self.csr_vecs = None
+            return self
+        if self.csr_vecs is None and self.csr_ids is not None:
+            assert self.max_tiles * 128 <= 1 << 16, (
+                "exact mode: longest list exceeds the 16-bit fold "
+                "position field; raise n_clusters")
+            from ..models.ivf import _augment_data_csr
+            vecs = _augment_data_csr(self.data, self.csr_ids)
+            if self.list_vecs is not None:  # placed: shard like _place
+                vecs = shard_on_axis0(self.mesh, vecs, axis=self.axis)
+            self.csr_vecs = vecs
+        return self
+
+    def set_rescore_rows(self, enabled=True):
+        """No-op allocation-wise: the sharded rescore always gathers
+        raw rows from the per-shard ``list_vecs`` with deferred id
+        decode, so a CSR-ordered global raw copy is never read (and
+        its placement would not match the mesh)."""
+        self.rescore_rows = enabled
+        self.csr_raw = None
+        return self
+
     def query(self, q, k, n_probes=1, pass_1=None, with_stats=False):
         q = np.asarray(q, dtype=np.float32)
         single = q.ndim == 1

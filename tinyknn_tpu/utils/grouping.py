@@ -9,8 +9,10 @@ product here is a padded id grid:
     counts: (n_lists,)     int32, true length of each list
 
 plus a CSR view (flat ids + offsets) for ragged kernels. Everything is
-host-side NumPy — index build is a one-off — with an optional C++
-native fast path (native/grouping.cpp) used when available.
+host-side NumPy — index build is a one-off — with a C++ counting-sort
+fast path (native/tinyknn_native.cpp) used when available for both the
+dense grid and the production lane-tiled CSR builder; the NumPy paths
+are bit-identical fallbacks (tests/test_native.py).
 """
 
 from __future__ import annotations
@@ -63,7 +65,8 @@ def invert_assignments(assignments, n_lists: int, pad_to: int = 8,
 
 
 def invert_assignments_csr_tiled(assignments, n_lists: int,
-                                 tile: int = 128, align_tiles: int = 1):
+                                 tile: int = 128, align_tiles: int = 1,
+                                 use_native: bool = True):
     """Lane-tiled CSR inverted lists for the ragged Pallas scan.
 
     Each list's member ids are laid out contiguously and padded with -1
@@ -82,6 +85,10 @@ def invert_assignments_csr_tiled(assignments, n_lists: int,
     sidesteps ragged lists with Python lists, tinyknn/ivf.py:100-102;
     a TPU index needs static shapes — this is the static-shape ragged
     encoding).
+
+    Uses the C++ counting-sort scatter (native/tinyknn_native.cpp
+    fill_csr_tiled) when available — O(N*p) with no comparison sort;
+    the NumPy argsort path below produces bit-identical output.
     """
     assignments = np.asarray(assignments)
     if assignments.ndim == 1:
@@ -91,6 +98,12 @@ def invert_assignments_csr_tiled(assignments, n_lists: int,
     assert n_lists > 0
     assert flat.size == 0 or (flat.min() >= 0 and flat.max() < n_lists), \
         "assignments out of range"
+    if use_native:
+        from ..native import invert_assignments_csr_tiled_native
+        out = invert_assignments_csr_tiled_native(
+            assignments, n_lists, tile, align_tiles)
+        if out is not None:
+            return out
     counts = np.bincount(flat, minlength=n_lists).astype(np.int32)
     ntiles = -(-counts.astype(np.int64) // tile)
     if align_tiles > 1:  # lists start on multi-tile kernel-step bounds
