@@ -37,6 +37,7 @@ run_job() {  # run_job <name> <cmd...>
 
 run_job bench    python bench.py
 run_job exact    python examples/exact_frontier.py
+run_job p1       python examples/p1_frontier.py --table-dtypes int8 bf16
 run_job euclid   python examples/bench.py clustered-1000000-128 \
                    --metric euclidean --n-queries 10000 --max-build-probes 2
 run_job latency  python examples/latency.py
