@@ -41,6 +41,13 @@ def main():
         pts = sorted(pts)
         ax.plot([r for r, _ in pts], [q for _, q in pts],
                 marker="o", label=f"build_probes={i}")
+    # the reference's published CPU sweep points on the same workload
+    # (reference README.md:132-135) — the baseline this build is
+    # measured against; its README Annoy comparison spans
+    # recall 0.3-0.93 at 100-6,000 QPS (examples/plot_bench.py:33-36)
+    ax.plot([0.37403, 0.50214], [4727.14, 3965.61], marker="s",
+            linestyle="--", color="gray",
+            label="tinyknn (Cython/AVX, CPU, published)")
     ax.set_yscale("log")
     ax.set_xlabel("Recall@10")
     ax.set_ylabel("Queries per second")
