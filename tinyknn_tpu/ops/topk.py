@@ -28,7 +28,12 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-INF_SCORE = jnp.float32(jnp.inf)
+# Plain Python float, NOT jnp.float32(...): calling a jnp scalar type
+# materializes a device array at import time, which makes
+# `import tinyknn_tpu` itself fail whenever the TPU backend is
+# unreachable (observed: relay outage turned every script crash into an
+# import error). Weak-typed inf promotes to f32 at every use site.
+INF_SCORE = float("inf")
 
 
 @partial(jax.jit, static_argnames=("k",))
