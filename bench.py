@@ -361,17 +361,33 @@ def glove_scale_ivf(res):
                     for i, g in enumerate(np.asarray(out[0])))
         return qps, found / (k * nq)
 
-    # (a) PQ path at P=1 with the sweep harness's 4x pass-1 pool
-    # (examples/bench.py --pass1-mult default): the recall>=0.374
-    # operating point
+    # (a) PQ path at P=1. Two operating points:
+    #   - quality point: the sweep harness's 4x pass-1 pool
+    #     (examples/bench.py --pass1-mult default, p1=84)
+    #   - north-star point: the NARROWEST pool that still clears the
+    #     reference's first published recall (0.374) — selection and
+    #     rescore width both scale with the pool, so the low-recall
+    #     point runs much faster than the quality point. Searched
+    #     upward so codebook/data drift can't fail the gate.
     qps_pq, rec_pq = sustained(ivf, n_probes=1,
                                pass_1=4 * (2 * k + 1))
-    log(f"GloVe PQ path P=1: recall10@10={rec_pq:.4f} "
+    log(f"GloVe PQ path P=1 (quality, p1=84): recall10@10={rec_pq:.4f} "
         f"QPS={qps_pq:,.0f} (reference 0.374 @ 4,727)")
     res["glove_pq_qps"] = round(qps_pq, 1)
     res["glove_pq_recall"] = round(rec_pq, 4)
+    best = (qps_pq, rec_pq, 4 * (2 * k + 1))
+    for p1 in (21, 42):
+        qps_n, rec_n = sustained(ivf, n_probes=1, pass_1=p1)
+        log(f"GloVe PQ path P=1 (p1={p1}): recall10@10={rec_n:.4f} "
+            f"QPS={qps_n:,.0f}")
+        if rec_n >= 0.374 and qps_n > best[0]:
+            best = (qps_n, rec_n, p1)
+            break               # narrower pool qualified — take it
+    res["glove_ns_qps"], res["glove_ns_recall"] = (
+        round(best[0], 1), round(best[1], 4))
+    res["glove_ns_pass1"] = best[2]
     res["glove_vs_cython_at_0374"] = (
-        round(qps_pq / 4727.14, 2) if rec_pq >= 0.374 else 0.0)
+        round(best[0] / 4727.14, 2) if best[1] >= 0.374 else 0.0)
 
     # (b) exact-scan frontier: recall>=0.9 point (bf16 true-distance
     # scan + thin f32 rescore; derived state built on device)
@@ -392,15 +408,19 @@ def run_workload():
     log(f"backend: {jax.default_backend()}, devices: {jax.devices()}")
 
     res = {}
+    t0 = time.time()
     fastpq_fullscan(res)            # headline — let failures propagate
+    res["t_fastpq_s"] = round(time.time() - t0, 1)
     notes = []
     for section in (hw_gate_production_kernels, glove_scale_ivf):
+        t0 = time.time()
         try:
             section(res)
         except Exception as e:       # auxiliary metrics must not zero
             log(f"section {section.__name__} failed: "
                 f"{type(e).__name__}: {e}")
             notes.append(f"{section.__name__} failed")
+        res[f"t_{section.__name__}_s"] = round(time.time() - t0, 1)
 
     # ---- verdict
     # Gate at measured parity: the reference's published 1.0/19.0 is an
@@ -419,6 +439,7 @@ def run_workload():
         and res.get("gate_fold_bf16_mismatches", 0) == 0
         and res.get("gate_exact_recall", 1.0) >= 0.99
         and res.get("glove_pq_recall", 1.0) >= 0.374
+        and res.get("glove_ns_recall", 1.0) >= 0.374
     )
     if not quality_ok:
         log("QUALITY GATE FAILED — reporting vs_baseline=0")
@@ -430,10 +451,12 @@ def run_workload():
                         if quality_ok else 0.0),
     }
     for key in ("glove_pq_qps", "glove_pq_recall",
+                "glove_ns_qps", "glove_ns_recall", "glove_ns_pass1",
                 "glove_vs_cython_at_0374", "glove_exact_qps",
                 "glove_exact_recall", "search_qps",
                 "search_recall1_at_10", "rank_median", "rank_q90",
-                "glove_build_s"):
+                "glove_build_s", "t_fastpq_s",
+                "t_hw_gate_production_kernels_s", "t_glove_scale_ivf_s"):
         if key in res:
             out[key] = res[key]
     if notes:
