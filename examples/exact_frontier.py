@@ -36,7 +36,17 @@ parser.add_argument("--scan-impl", default="exact",
 parser.add_argument("--index", default="ivf_clustered-1183514-100_"
                     "angular_num_clusters=1087_dims_per_block=2_"
                     "build_probes=1.npz")
+parser.add_argument("--cpu", action="store_true",
+                    help="force the CPU backend (recall is "
+                         "hardware-independent, so the recall column "
+                         "can be re-measured during a relay outage)")
+parser.add_argument("--recall-only", action="store_true",
+                    help="skip the QPS timing sweeps (pointless off-TPU)")
 args = parser.parse_args()
+
+if args.cpu:
+    import jax
+    jax.config.update("jax_platforms", "cpu")
 
 utils.enable_compilation_cache()
 
@@ -76,6 +86,11 @@ for P in args.probes:
     if trus is not None:
         rec = np.mean([len(set(t.tolist()) & set(g.tolist())) / k
                        for t, g in zip(trus, out)])
+    if args.recall_only:
+        print(f"P={P:>2}: recall{k}@{k}={rec:.4f} "
+              f"dropped={stats['dropped_probe_pairs']}"
+              f"/{stats['total_probe_pairs']}", flush=True)
+        continue
     # sustained QPS through query_stream, measured at the margin
     np.asarray(ivf.query_stream(qb1, k=k, n_probes=P))
     np.asarray(ivf.query_stream(qb2, k=k, n_probes=P))
