@@ -376,7 +376,11 @@ def glove_scale_ivf(res):
     res["glove_pq_qps"] = round(qps_pq, 1)
     res["glove_pq_recall"] = round(rec_pq, 4)
     best = (qps_pq, rec_pq, 4 * (2 * k + 1))
-    for p1 in (11, 21, 42):
+    # ladder floor measured on CPU via the gate-equal XLA engine:
+    # p1=11 -> 0.2548 (never qualifies), p1=21 -> 0.3765 (the
+    # reference's own operating point: it published 0.37403 at
+    # pass_1=(P+1)k+1=21), p1=42 -> 0.5339
+    for p1 in (21, 42):
         qps_n, rec_n = sustained(ivf, n_probes=1, pass_1=p1)
         log(f"GloVe PQ path P=1 (p1={p1}): recall10@10={rec_n:.4f} "
             f"QPS={qps_n:,.0f}")
