@@ -375,21 +375,27 @@ def glove_scale_ivf(res):
         f"QPS={qps_pq:,.0f} (reference 0.374 @ 4,727)")
     res["glove_pq_qps"] = round(qps_pq, 1)
     res["glove_pq_recall"] = round(rec_pq, 4)
-    best = (qps_pq, rec_pq, 4 * (2 * k + 1))
-    # ladder floor measured on CPU via the gate-equal XLA engine:
-    # p1=11 -> 0.2548 (never qualifies), p1=21 -> 0.3765 (the
-    # reference's own operating point: it published 0.37403 at
-    # pass_1=(P+1)k+1=21), p1=42 -> 0.5339
-    for p1 in (21, 42):
+    best = (qps_pq, rec_pq, "int8", 4 * (2 * k + 1))
+    # ladder recalls measured on CPU via the gate-equal XLA engine:
+    # int8 p1=21 -> 0.3765 (the reference's own operating point: it
+    # published 0.37403 at pass_1=(P+1)k+1=21); bf16 tables remove the
+    # estimate quantization noise, so a narrower pool qualifies with
+    # margin (p1=17 -> 0.3988). int8 p1=42 (0.5339) is the fallback if
+    # neither clears on-stream. Tables are per-query temporaries —
+    # index memory (4-bit codes) is reference-equal either way.
+    for td, p1 in (("bf16", 17), ("int8", 21), ("int8", 42)):
+        if p1 == 42 and best[3] != 4 * (2 * k + 1):
+            break               # fallback only needed if nothing qualified
+        ivf.pq.table_dtype = td
         qps_n, rec_n = sustained(ivf, n_probes=1, pass_1=p1)
-        log(f"GloVe PQ path P=1 (p1={p1}): recall10@10={rec_n:.4f} "
+        ivf.pq.table_dtype = "int8"
+        log(f"GloVe PQ path P=1 ({td}, p1={p1}): recall10@10={rec_n:.4f} "
             f"QPS={qps_n:,.0f}")
         if rec_n >= 0.374 and qps_n > best[0]:
-            best = (qps_n, rec_n, p1)
-            break               # narrower pool qualified — take it
+            best = (qps_n, rec_n, td, p1)
     res["glove_ns_qps"], res["glove_ns_recall"] = (
         round(best[0], 1), round(best[1], 4))
-    res["glove_ns_pass1"] = best[2]
+    res["glove_ns_tables"], res["glove_ns_pass1"] = best[2], best[3]
     res["glove_vs_cython_at_0374"] = (
         round(best[0] / 4727.14, 2) if best[1] >= 0.374 else 0.0)
 
@@ -455,7 +461,8 @@ def run_workload():
                         if quality_ok else 0.0),
     }
     for key in ("glove_pq_qps", "glove_pq_recall",
-                "glove_ns_qps", "glove_ns_recall", "glove_ns_pass1",
+                "glove_ns_qps", "glove_ns_recall", "glove_ns_tables",
+                "glove_ns_pass1",
                 "glove_vs_cython_at_0374", "glove_exact_qps",
                 "glove_exact_recall", "search_qps",
                 "search_recall1_at_10", "rank_median", "rank_q90",

@@ -32,8 +32,12 @@ from tinyknn_tpu.io import load_ivf               # noqa: E402
 
 parser = argparse.ArgumentParser()
 parser.add_argument("--pass1", type=int, nargs="+",
-                    default=[11, 21, 42, 84])
-parser.add_argument("--mults", type=int, nargs="+", default=[4, 8, 18])
+                    default=[17, 21, 42, 84])
+# fold_mult is a no-op at P=1 (the round-0 fold always covers the
+# nearest list fully; there are no tail rounds), so the default grid
+# pins it — measured on CPU via the gate-equal XLA engine: recall at
+# fm 4/8/18 is bit-identical across the whole pass_1 ladder.
+parser.add_argument("--mults", type=int, nargs="+", default=[8])
 parser.add_argument("--k", type=int, default=10)
 parser.add_argument("--probes", type=int, default=1)
 parser.add_argument("--reps", type=int, nargs=2, default=[4, 12])
