@@ -36,7 +36,7 @@ from tinyknn_tpu.io import load_ivf               # noqa: E402
 
 parser = argparse.ArgumentParser()
 parser.add_argument("--probes", type=int, nargs="+", default=[4, 10])
-parser.add_argument("--mults", type=int, nargs="+", default=[8, 16])
+parser.add_argument("--mults", type=int, nargs="+", default=[4, 8, 16])
 parser.add_argument("--mult", type=float, default=4.0,
                     help="pass-1 pool multiplier (as examples/bench.py)")
 parser.add_argument("--k", type=int, default=10)
