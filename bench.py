@@ -120,9 +120,19 @@ def main():
 
 # ------------------------------------------------------------------ workload
 
+# TINYKNN_BENCH_SMOKE=1 shrinks every workload so the FULL script
+# (all sections, all code paths, the gates and the JSON assembly) can
+# be validated end-to-end on CPU in minutes — used to verify the exact
+# code the driver runs while the TPU relay is down. Timings/recalls
+# from a smoke run are NOT comparable numbers.
+SMOKE = os.environ.get("TINYKNN_BENCH_SMOKE") == "1"
+
+
 def _best_of(fn, reps=3):
     """Best-of-n wall time: remote-relay scheduling jitter otherwise
     leaks into individual measurements."""
+    if SMOKE:
+        reps = 1
     best = float("inf")
     for _ in range(reps):
         t0 = time.time()
@@ -144,7 +154,7 @@ def fastpq_fullscan(res):
     # is amortized away: the metric is the steady-state per-batch rate a
     # serving deployment sees, measured at the margin (see
     # docs/PERFORMANCE.md "Measurement methodology").
-    reps = 200
+    reps = 2 if SMOKE else 200
     np.random.seed(10)
     X = np.random.randn(n, d).astype(np.float32)
     qs = np.random.randn(nq, d).astype(np.float32)
@@ -316,6 +326,9 @@ def glove_scale_ivf(res):
     from tinyknn_tpu.io import load_ivf, save_ivf
 
     size, dim, nq, k = 1183514, 100, 10000, 10
+    n_clusters = 1087
+    if SMOKE:  # same pipeline, toy scale (sqrt-scaled cluster count)
+        size, nq, n_clusters = 20000, 500, 141
     rng = np.random.default_rng(10)
     n_comp = int((size + nq) ** 0.5)
     centers = rng.standard_normal((n_comp, dim), dtype=np.float32)
@@ -324,8 +337,9 @@ def glove_scale_ivf(res):
         (size + nq, dim), dtype=np.float32)
     data, queries = data[:-nq], data[-nq:]
 
-    trus_file = ("trus_clustered-1183514-100_k_neighbours=10_"
-                 "num_queries=10000_metric='angular'.npy")
+    cache_dir = "/tmp/" if SMOKE else ""
+    trus_file = (f"{cache_dir}trus_clustered-{size}-{dim}_k_neighbours="
+                 f"{k}_num_queries={nq}_metric='angular'.npy")
     if os.path.isfile(trus_file):
         trus = np.load(trus_file)
     else:
@@ -334,21 +348,22 @@ def glove_scale_ivf(res):
         np.save(trus_file, trus)
     true_sets = [set(t.tolist()) for t in trus]
 
-    ivf_file = ("ivf_clustered-1183514-100_angular_num_clusters=1087_"
-                "dims_per_block=2_build_probes=1.npz")
+    ivf_file = (f"{cache_dir}ivf_clustered-{size}-{dim}_angular_"
+                f"num_clusters={n_clusters}_dims_per_block=2_"
+                f"build_probes=1.npz")
     t0 = time.time()
     if os.path.isfile(ivf_file):
         ivf = load_ivf(ivf_file)
         log(f"loaded cached GloVe index in {time.time()-t0:.1f}s")
     else:
         log("building GloVe-scale index (several minutes)...")
-        ivf = tk.IVF("angular", 1087, tk.FastPQ(2))
+        ivf = tk.IVF("angular", n_clusters, tk.FastPQ(2))
         ivf.fit(data).build(data, n_probes=1)
         save_ivf(ivf_file, ivf)
         log(f"fit+build+save: {time.time()-t0:.1f}s")
         res["glove_build_s"] = round(time.time() - t0, 1)
 
-    def sustained(ivf_obj, n_probes, pass_1=None, reps=5):
+    def sustained(ivf_obj, n_probes, pass_1=None, reps=2 if SMOKE else 5):
         jq = jnp.asarray(
             queries[None]
             + np.arange(reps, dtype=np.float32)[:, None, None] * 1e-6)
