@@ -1,13 +1,14 @@
 #!/usr/bin/env python3
-"""Stream qc-pinning guidance table (round-4 VERDICT item: weak 7).
+"""Stream qc-capacity guidance table (round-4 VERDICT item: weak 7).
 
-``query_stream`` cannot escalate on bucket-capacity drops (a retry
-would re-run the whole stream), so on skewed batches the only
-mitigation is pinning ``queries_per_cluster``. This measures, on the
-cached GloVe index with its naturally clustered queries, what each qc
-multiple of the heuristic costs and buys: dropped (query, probe)
-pairs, recall10@10, and the marginal per-batch time — the numbers
-behind docs/PERFORMANCE.md's "what to pin at what skew" table.
+``query_stream`` self-tunes its bucket capacities by default
+(``adaptive_qc``: a one-time per-shape load pre-pass plus a free
+drop-counter guard); pinning ``queries_per_cluster`` disables that in
+favor of a fixed capacity. This measures, on the cached GloVe index
+with its naturally clustered queries, what the adaptive default and
+each pinned qc multiple of the heuristic cost and buy: dropped
+(query, probe) pairs, recall10@10, and the marginal per-batch time —
+the numbers behind docs/PERFORMANCE.md's stream-capacity table.
 
 Usage: python examples/stream_guidance.py [--probes 3 10]
 """
@@ -74,9 +75,15 @@ for P in args.probes:
     # the same mean-load heuristic IVF.query starts from
     qc_heur = max(8, 8 * ((5 * nq * P // (2 * n_active)) // 8 + 1))
     qc0_heur = default_qc0(nq, n_active)
-    for m in args.qc_mults:
-        ivf.queries_per_cluster = int(max(qc_heur, qc0_heur) * m
-                                      + 7) // 8 * 8
+    for m in ["auto"] + args.qc_mults:
+        if m == "auto":
+            # the adaptive default: load pre-pass sizes the capacity
+            # (one-time per shape), free drop counter guards drift
+            ivf.queries_per_cluster = None
+            ivf._stream_qc_floors = {}
+        else:
+            ivf.queries_per_cluster = int(max(qc_heur, qc0_heur) * m
+                                          + 7) // 8 * 8
         out, stats = ivf.query_stream(qb1, k=k, n_probes=P, pass_1=p1,
                                       with_stats=True)
         out = np.asarray(out)
@@ -92,8 +99,9 @@ for P in args.probes:
         marginal = (t2 - t1) / (R2 - R1)
         dropped = stats["dropped_probe_pairs"]
         total = stats["total_probe_pairs"]
-        line = (f"P={P:>2} qc={ivf.queries_per_cluster:>4} "
-                f"({m:.0f}x heuristic): dropped {dropped}/{total} "
+        qc_lbl = ("auto" if m == "auto"
+                  else f"{ivf.queries_per_cluster:>4} ({m:.0f}x heur)")
+        line = (f"P={P:>2} qc={qc_lbl}: dropped {dropped}/{total} "
                 f"({100*dropped/max(total,1):.3f}%)  "
                 f"{marginal*1000:6.1f} ms/batch -> "
                 f"{nq/marginal:>9,.0f} QPS")

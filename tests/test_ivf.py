@@ -272,6 +272,71 @@ def test_query_stream_matches_query():
         np.testing.assert_array_equal(stream[i], single)
 
 
+def test_query_stream_adaptive_qc():
+    """A skewed stream self-tunes its bucket capacities: the first call
+    at a shape measures the per-cluster load (pre-pass) and scans
+    drop-free where the mean-load heuristic alone overflows; results
+    match query()'s escalated (drop-free) output. adaptive_qc=False
+    restores the raw heuristic and its (auditable) drops."""
+    np.random.seed(31)
+    n, d, Q = 3000, 16, 64
+    X = np.random.randn(n, d).astype(np.float32)
+    base = X[13]
+    qs = (base + 0.02 * np.random.randn(2, Q, d)).astype(np.float32)
+    ivf = IVF("euclidean", 24, FastPQ(2, rotate_dim=None))
+    ivf.fit(X).build(X, n_probes=2)
+
+    # the scenario bites: the heuristic alone drops pairs on this batch
+    _, st_raw = ivf.query_stream(qs, k=8, n_probes=3, with_stats=True,
+                                 adaptive_qc=False)
+    assert st_raw["dropped_probe_pairs"] > 0, st_raw
+
+    out, st = ivf.query_stream(qs, k=8, n_probes=3, with_stats=True)
+    assert st["dropped_probe_pairs"] == 0, st
+    assert (Q, 3) in ivf._stream_qc_floors  # floor cached for the shape
+    for i in range(2):
+        single = np.asarray(ivf.query(qs[i], k=8, n_probes=3,
+                                      mode="bucket"))
+        np.testing.assert_array_equal(np.asarray(out)[i], single)
+
+
+def test_query_stream_adaptive_qc_drift_escalation():
+    """If query drift overflows a cached floor, the overflowing stream
+    reports its drops (free piggybacked counter) and the floor
+    escalates so the next same-shape stream is clean."""
+    np.random.seed(32)
+    n, d, Q = 3000, 16, 64
+    X = np.random.randn(n, d).astype(np.float32)
+    qs = (X[13] + 0.02 * np.random.randn(1, Q, d)).astype(np.float32)
+    ivf = IVF("euclidean", 24, FastPQ(2, rotate_dim=None))
+    ivf.fit(X).build(X, n_probes=2)
+    # seed the cache with a stale (too-low) floor, as if earlier
+    # streams at this shape had been uniform
+    ivf._stream_qc_floors = {(Q, 3): (8, 8)}
+    _, st1 = ivf.query_stream(qs, k=8, n_probes=3, with_stats=True)
+    assert st1["dropped_probe_pairs"] > 0, st1
+    assert ivf._stream_qc_floors[(Q, 3)][0] > 8  # escalated for next
+    _, st2 = ivf.query_stream(qs, k=8, n_probes=3, with_stats=True)
+    assert st2["dropped_probe_pairs"] == 0, st2
+
+
+def test_query_stream_adaptive_qc_exact_mode():
+    """Adaptive stream capacity in exact-scan mode: the raised floors
+    flow through the fold-width budget derivation and the skewed
+    stream still agrees with query()."""
+    np.random.seed(33)
+    n, d, Q = 2000, 16, 48
+    X = np.random.randn(n, d).astype(np.float32)
+    qs = (X[5] + 0.02 * np.random.randn(1, Q, d)).astype(np.float32)
+    ivf = IVF("euclidean", 16, FastPQ(2, rotate_dim=None),
+              scan_impl="exact")
+    ivf.fit(X).build(X, n_probes=1)
+    out, st = ivf.query_stream(qs, k=6, n_probes=3, with_stats=True)
+    assert st["dropped_probe_pairs"] == 0, st
+    single = np.asarray(ivf.query(qs[0], k=6, n_probes=3))
+    np.testing.assert_array_equal(np.asarray(out)[0], single)
+
+
 def test_ivf_bf16_tables_fused_and_xla():
     """Unquantized bf16 tables through both IVF scan paths (the
     beyond-reference quality mode: int32 fold encoding is replaced by

@@ -540,15 +540,22 @@ def _exact_widths(mult, max_tiles, n_active, qc, qc0, k, pass_1):
             base)
 
 
-def _query_params(self, Q, k, n_probes, pass_1):
-    """Shared query-shape parameter derivation (see IVF.query)."""
+def _query_params(self, Q, k, n_probes, pass_1, qc_min=0, qc0_min=0):
+    """Shared query-shape parameter derivation (see IVF.query).
+
+    ``qc_min``/``qc0_min``: capacity floors from a measured per-cluster
+    load (the adaptive stream pre-pass) — they raise the mean-load
+    heuristic, never lower it, and an explicit ``queries_per_cluster``
+    pin still overrides both."""
     n_active = self.active_centers.shape[0]
     n_probes = min(n_probes, n_active)
     k = min(k, int(self.data.shape[0]))
     cap = self.max_tiles * LANE_TILE
     qc = self.queries_per_cluster or max(
-        8, round_up(5 * Q * n_probes // (2 * max(n_active, 1)) + 1, 8))
-    qc0 = self.queries_per_cluster or default_qc0(Q, n_active)
+        8, round_up(5 * Q * n_probes // (2 * max(n_active, 1)) + 1, 8),
+        qc_min)
+    qc0 = self.queries_per_cluster or max(default_qc0(Q, n_active),
+                                          qc0_min)
     if self.scan_impl == "exact":
         # Exact distances need no estimate-noise depth: selection
         # keeps only ~k candidates. What matters is FOLD WIDTH — two
@@ -577,32 +584,118 @@ def _query_params(self, Q, k, n_probes, pass_1):
     return k, n_probes, pass_1, r, r_tail, qc, qc0
 
 
+def _qc_bucket(n: int) -> int:
+    """Round a measured per-cluster load up to a power-of-two capacity
+    (>= 8): adapted capacities move in coarse steps so distinct stream
+    executables stay few (qc is a static shape parameter)."""
+    if n <= 0:
+        return 0
+    return max(8, 1 << (int(n) - 1).bit_length())
+
+
+@partial(jax.jit, static_argnames=("n_probes", "metric"))
+def _stream_peak_loads(batches, active_centers, *, n_probes, metric):
+    """Max per-cluster (query, probe)-pair load across a stream,
+    split round 0 (each query's nearest cluster) vs tail probes —
+    exactly the loads the bucket capacities qc0/qc must cover for a
+    drop-free scan. Mirrors _ivf_query's probe selection arithmetic
+    bit-for-bit (same normalize / qn + cn - 2qc / top_k) so the
+    measured loads are the loads the scan will see."""
+    cn = jnp.einsum("cd,cd->c", active_centers, active_centers)
+    C = active_centers.shape[0]
+
+    def body(q):
+        if metric == "angular":
+            q = q / jnp.maximum(
+                jnp.linalg.norm(q, axis=1, keepdims=True), 1e-12)
+        qn = jnp.einsum("qd,qd->q", q, q)
+        d2c = qn[:, None] + cn[None, :] - 2.0 * jax.lax.dot_general(
+            q, active_centers, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        _, sel = jax.lax.top_k(-d2c, n_probes)
+        load0 = jnp.zeros((C,), jnp.int32).at[sel[:, 0]].add(1)
+        if n_probes > 1:
+            loadt = jnp.zeros((C,), jnp.int32).at[
+                sel[:, 1:].reshape(-1)].add(1)
+        else:
+            loadt = jnp.zeros((C,), jnp.int32)
+        return jnp.max(load0), jnp.max(loadt)
+
+    m0, mt = jax.lax.map(body, batches)
+    return jnp.max(m0), jnp.max(mt)
+
+
 class _StreamMixin:
     """query_stream: many batches per device dispatch (the serving
     shape — on remote/tethered TPUs each dispatched call costs ~30 ms
     of round-trip latency; a stream pays it once)."""
 
     def query_stream(self, batches, k, n_probes=1, pass_1=None,
-                     with_stats=False):
+                     with_stats=False, adaptive_qc=True):
         """Top-k ids for a (R, Q, d) stream of query batches.
 
         Runs all R batches inside ONE jitted computation (lax.map), so
         per-call dispatch/readback latency is amortized across the
-        stream; returns (R, Q, k) int32. Unlike ``query`` there is no
-        drop-retry escalation (a retry would have to re-run the whole
-        stream) — ``with_stats=True`` additionally returns a stats dict
-        with the total (query, probe) pairs dropped by bucket-capacity
-        overflow across the stream, so skewed serving streams are
-        auditable; pin queries_per_cluster to eliminate drops.
+        stream; returns (R, Q, k) int32.
+
+        Unlike ``query`` there is no drop-RETRY escalation (a retry
+        would have to re-run the whole stream). Instead, with
+        ``adaptive_qc=True`` (the default) the stream self-tunes its
+        bucket capacities: the first call at a given (Q, n_probes)
+        shape runs a tiny pre-pass (probe selection + per-cluster load
+        count — one extra small dispatch, amortized to zero across the
+        stream's life) and raises the capacities to cover the measured
+        peak load, so skewed batches scan drop-free; the floors are
+        cached per shape and later calls skip the pre-pass but check
+        the (free, piggybacked) drop counter and escalate the cached
+        floor if query drift ever overflows it — that one stream's
+        drops are visible via ``with_stats``. Floors are clamped by
+        the same ~2 GB scan-grid budget as ``query``'s escalation, so
+        pathological skew (every query in one cluster at huge Q)
+        degrades to bounded, auditable drops rather than OOM. Pinning
+        ``queries_per_cluster`` disables all of it.
+
+        ``with_stats=True`` additionally returns a stats dict with the
+        total (query, probe) pairs dropped by bucket-capacity overflow
+        across the stream.
         """
         assert self.csr_codes is not None, (
             "IVF index is empty: call fit(X) and build(X) before query")
         batches = jnp.asarray(batches, jnp.float32)
         R, Q, d = batches.shape
-        k, n_probes, pass_1, r, r_tail, qc, qc0 = _query_params(
-            self, Q, k, n_probes, pass_1)
         method = _resolve_method(self.pass1_method)
         fold_mult = getattr(self, "fold_mult", FOLD_MULT)
+        adaptive = bool(adaptive_qc) and not self.queries_per_cluster
+        k_arg, p_arg, p1_arg = k, n_probes, pass_1
+        k, n_probes, pass_1, r, r_tail, qc, qc0 = _query_params(
+            self, Q, k, n_probes, pass_1)
+        floors = (0, 0)
+        if adaptive:
+            cache = getattr(self, "_stream_qc_floors", None)
+            if cache is None:
+                cache = self._stream_qc_floors = {}
+            key = (Q, n_probes)
+            if key not in cache:
+                m0, mt = jax.device_get(_stream_peak_loads(
+                    batches, self.active_centers, n_probes=n_probes,
+                    metric=self.metric))
+                cache[key] = (_qc_bucket(int(m0)), _qc_bucket(int(mt)))
+            floors = cache[key]
+        if floors[0] > qc0 or floors[1] > qc:
+            # clamp the floors by the ~2 GB scan-grid budget (the same
+            # bound query()'s can't-drop retry uses), then re-derive:
+            # in exact mode the fold widths adapt to the new capacity
+            n_active = self.active_centers.shape[0]
+            budget = 2 << 30
+            s0_w = _fold_tiles(r, self.max_tiles, fold_mult) * LANE_TILE
+            st_w = _fold_tiles(r_tail, self.max_tiles,
+                               fold_mult) * LANE_TILE
+            f0 = min(floors[0], round_up(Q, 8), round_up(
+                max(qc0, budget // max(1, 4 * n_active * s0_w)), 8))
+            ft = min(floors[1], round_up(Q, 8), round_up(
+                max(qc, budget // max(1, 4 * n_active * st_w)), 8))
+            k, n_probes, pass_1, r, r_tail, qc, qc0 = _query_params(
+                self, Q, k_arg, p_arg, p1_arg, qc_min=ft, qc0_min=f0)
         scan_impl = self.scan_impl
         if scan_impl == "auto":
             cap = self.max_tiles * LANE_TILE
@@ -628,6 +721,15 @@ class _StreamMixin:
             max_tiles=self.max_tiles,
             build_probes=getattr(self, "build_probes", 2),
             table_dtype=self.pq.table_dtype, fold_mult=fold_mult)
+        # one transfer for both (the caller consumes out on the host
+        # anyway): the drop check is free per clean call, like query()'s
+        out, dropped = jax.device_get((out, dropped))
+        if adaptive and int(dropped):
+            # query drift overflowed the cached floor (or the budget
+            # clamp bit): escalate for subsequent same-shape streams
+            self._stream_qc_floors[key] = (
+                min(_qc_bucket(4 * qc0), round_up(Q, 8)),
+                min(_qc_bucket(4 * qc), round_up(Q, 8)))
         out = _map_labels(self.labels, out)
         if with_stats:
             return out, {
@@ -635,6 +737,7 @@ class _StreamMixin:
                 "total_probe_pairs": R * Q * n_probes,
                 "queries_per_cluster_cap": qc,
                 "queries_per_cluster_cap_round0": qc0,
+                "adaptive_qc_floors": floors if adaptive else None,
                 "pass_1": pass_1,
             }
         return out
