@@ -298,7 +298,13 @@ def hw_gate_production_kernels(res):
             f"{bad}/{nq} mismatched queries")
         res[f"gate_fold_{td}_mismatches"] = bad
 
-    # exact-distance kernel: full probe coverage must reproduce true kNN
+    # exact-distance kernel: full probe coverage must reproduce true kNN.
+    # Gate on DISTANCES, not id sets: knn_brute's dot-product-expansion
+    # f32 distances disagree with direct summation on near-ties (~1e-3
+    # relative), so id-set recall dips to ~0.984 on this fixture even
+    # when every returned point is as close or closer than the "true"
+    # one. A broken kernel returns far points — caught by the dominance
+    # check below; a near-tie swap is not a failure.
     trus = np.asarray(tk.knn_brute(qs, X, k=8))
     ex = tk.IVF("euclidean", 8, tk.FastPQ(2, rotate_dim=None),
                 scan_impl="exact")
@@ -306,8 +312,16 @@ def hw_gate_production_kernels(res):
     got = np.asarray(ex.query(qs, k=8, n_probes=8))
     rec = float(np.mean([len(set(g.tolist()) & set(t.tolist())) / 8
                          for g, t in zip(got, trus)]))
-    log(f"hw gate scan_exact_csr full-probe vs brute: recall={rec:.4f}")
+    bad = 0
+    for g, t, q in zip(got, trus, qs):
+        dg = np.sort(((X[g] - q) ** 2).sum(-1))
+        dt = np.sort(((X[t] - q) ** 2).sum(-1))
+        if np.any(dg > dt * (1 + 1e-3) + 1e-3):
+            bad += 1
+    log(f"hw gate scan_exact_csr full-probe vs brute: recall={rec:.4f}, "
+        f"distance-dominated mismatches={bad}/{nq}")
     res["gate_exact_recall"] = round(rec, 4)
+    res["gate_exact_mismatches"] = bad
 
 
 def glove_scale_ivf(res):
@@ -462,7 +476,8 @@ def run_workload():
         and res.get("gate_estimate_kernel_diff", 0) == 0
         and res.get("gate_fold_int8_mismatches", 0) == 0
         and res.get("gate_fold_bf16_mismatches", 0) == 0
-        and res.get("gate_exact_recall", 1.0) >= 0.99
+        and res.get("gate_exact_mismatches", 0) == 0
+        and res.get("gate_exact_recall", 1.0) >= 0.97
         and res.get("glove_pq_recall", 1.0) >= 0.374
         and res.get("glove_ns_recall", 1.0) >= 0.374
     )
