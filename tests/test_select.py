@@ -110,6 +110,16 @@ def test_exact_widths_properties():
                                   None)
     assert _fold_tiles(r, max_tiles, mult) == max_tiles
     assert p1 == 4 * k
+    # default sliver scales linearly with n_probes (bf16
+    # selection-boundary ties grow with scanned lists)
+    for P, want in ((1, 4 * k), (2, 8 * k), (3, 12 * k), (10, 40 * k)):
+        _, _, p1_p = _exact_widths(mult, max_tiles, 1087, 232, 32, k,
+                                   None, n_probes=P)
+        assert p1_p == want, (P, p1_p)
+    # explicit pass_1 still wins over the scaled default
+    _, _, p1_u = _exact_widths(mult, max_tiles, 1087, 232, 32, k, 60,
+                               n_probes=10)
+    assert p1_u == 60
     # budget binds: huge C * qc shrinks the tail fold below max_tiles
     r2, rt2, _ = _exact_widths(mult, 500, 50000, 512, 512, k, None)
     assert _fold_tiles(rt2, 500, mult) < 500

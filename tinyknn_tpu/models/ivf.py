@@ -519,7 +519,8 @@ def _fused_ok(pq, cap: int, max_tiles: int, rounds,
     return True
 
 
-def _exact_widths(mult, max_tiles, n_active, qc, qc0, k, pass_1):
+def _exact_widths(mult, max_tiles, n_active, qc, qc0, k, pass_1,
+                  n_probes=1):
     """Exact-mode fold widths (shared by the single-chip and sharded
     paths): (r, r_tail, pass_1) such that _fold_tiles(r, ...) hits the
     target tile widths — full longest list for round 0 under a ~512 MB
@@ -529,8 +530,19 @@ def _exact_widths(mult, max_tiles, n_active, qc, qc0, k, pass_1):
     bt_tiles = max(1, (512 << 20)
                    // (4 * max(n_active, 1) * qc * LANE_TILE))
     # floor at k: the selection width p1 = f * pass_1 feeds a final
-    # top_k(k), so a user pass_1 < k must not shrink it below k
-    base = max(pass_1 if pass_1 is not None else 4 * k, k)
+    # top_k(k), so a user pass_1 < k must not shrink it below k.
+    # Default sliver width scales with n_probes: selection ranks by the
+    # bf16-rounded scan distance, and the number of candidates tied at
+    # the selection boundary grows with the number of scanned lists —
+    # at GloVe scale a fixed 4k sliver tracks the probe-coverage
+    # ceiling at P=1 but loses ~0.9pp of recall at P=3, and a 12k cap
+    # loses 0.3pp again at P=4. Measured (docs/PERFORMANCE.md): 4kP
+    # recovers the ceiling exactly at every probed P, so the default is
+    # linear in P, uncapped — the same scaling the reference gives its
+    # pass-1 pool ((P+1)k+1, reference ivf.py:135) — and the f32
+    # rescore cost is linear in it.
+    base = max(pass_1 if pass_1 is not None else 4 * k * max(n_probes, 1),
+               k)
     w0 = max(min(max_tiles, b0_tiles),
              -(-mult * max(4 * k, 32) // LANE_TILE))
     wt = max(min(max_tiles, bt_tiles,
@@ -573,7 +585,8 @@ def _query_params(self, Q, k, n_probes, pass_1, qc_min=0, qc0_min=0):
         # fixes bf16 near-tie swaps (see _ivf_query step 5).
         mult = getattr(self, "fold_mult", FOLD_MULT) or FOLD_MULT
         r, r_tail, pass_1 = _exact_widths(
-            mult, self.max_tiles, n_active, qc, qc0, k, pass_1)
+            mult, self.max_tiles, n_active, qc, qc0, k, pass_1,
+            n_probes=n_probes)
     else:
         if pass_1 is None:
             pass_1 = (n_probes + 1) * k + 1

@@ -214,7 +214,7 @@ class ShardedIVF(IVF):
             r, r_tail, pass_1 = _exact_widths(
                 getattr(self, "fold_mult", FOLD_MULT) or FOLD_MULT,
                 self.max_tiles, max(C_pad // c_dev, 1), qc, qc0, k,
-                pass_1)
+                pass_1, n_probes=n_probes)
         else:
             if pass_1 is None:
                 pass_1 = (n_probes + 1) * k + 1
@@ -340,7 +340,8 @@ def _sharded_stream_method(self, batches, k, n_probes=1, pass_1=None,
         from ..models.ivf import FOLD_MULT, _exact_widths
         r, r_tail, pass_1 = _exact_widths(
             getattr(self, "fold_mult", FOLD_MULT) or FOLD_MULT,
-            self.max_tiles, max(C_pad // c_dev, 1), qc, qc0, k, pass_1)
+            self.max_tiles, max(C_pad // c_dev, 1), qc, qc0, k, pass_1,
+            n_probes=n_probes)
     else:
         if pass_1 is None:
             pass_1 = (n_probes + 1) * k + 1
