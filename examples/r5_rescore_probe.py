@@ -1,0 +1,92 @@
+#!/usr/bin/env python3
+"""rescore_rows (deferred-id decode) A/B at GloVe scale.
+
+The round-3 gather analysis (docs/PERFORMANCE.md "Where the time
+goes") says the PQ-path query at P>=4 is dominated by two
+multi-million-element gathers: the (Q, p1) csr_ids decode and the
+(Q, p1) raw-row rescore gather. ``rescore_rows`` stores a CSR-ordered
+raw copy so the rescore gathers by flat row directly and ids decode
+only for the k winners — removing the first gather at the price of
+one extra HBM copy of the corpus. It is implemented and CPU-tested
+but was never measured on hardware (VERDICT r4 weak #5); this probe
+decides its default.
+
+Measures sustained QPS (query_stream, best-of-3 over R-rep dispatch)
+and recall at P in {1, 4, 10} with the sweep harness's default pool
+(pass_1 = 4*((P+1)k+1)), rescore_rows off vs on, on the cached bp=1
+GloVe-scale archive.
+
+Usage: python examples/r5_rescore_probe.py [--reps 5] [--probes 1 4 10]
+"""
+
+import argparse
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
+from tinyknn_tpu import utils                      # noqa: E402
+from tinyknn_tpu.io import load_ivf                # noqa: E402
+
+parser = argparse.ArgumentParser()
+parser.add_argument("--probes", type=int, nargs="+", default=[1, 4, 10])
+parser.add_argument("--k", type=int, default=10)
+parser.add_argument("--reps", type=int, default=5)
+parser.add_argument("--mult", type=float, default=4.0)
+parser.add_argument("--index", default="ivf_clustered-1183514-100_"
+                    "angular_num_clusters=1087_dims_per_block=2_"
+                    "build_probes=1.npz")
+parser.add_argument("--trus", default="trus_clustered-1183514-100_"
+                    "k_neighbours=10_num_queries=10000_metric="
+                    "'angular'.npy")
+args = parser.parse_args()
+
+utils.enable_compilation_cache()
+print("loading index...", flush=True)
+ivf = load_ivf(args.index)
+
+size, dim, nq = 1183514, 100, 10000
+rng = np.random.default_rng(10)
+n_comp = int((size + nq) ** 0.5)
+centers = rng.standard_normal((n_comp, dim), dtype=np.float32)
+which = rng.integers(0, n_comp, size + nq)
+data = centers[which] + 0.5 * rng.standard_normal(
+    (size + nq, dim), dtype=np.float32)
+queries = data[-nq:]
+del data
+
+true_sets = None
+if os.path.isfile(args.trus):
+    trus = np.load(args.trus)
+    true_sets = [set(t.tolist()) for t in trus]
+
+k, R = args.k, args.reps
+jitter = np.arange(R, dtype=np.float32)[:, None, None] * 1e-6
+qb = queries[None] + jitter
+
+for enabled in (False, True):
+    ivf.set_rescore_rows(enabled)
+    tag = "rescore_rows=on " if enabled else "rescore_rows=off"
+    for P in args.probes:
+        p1 = int(args.mult * ((P + 1) * k + 1))
+        out = np.asarray(ivf.query_stream(qb, k=k, n_probes=P,
+                                          pass_1=p1))  # warm/compile
+        el = float("inf")
+        for _ in range(3):
+            t0 = time.time()
+            out = np.asarray(ivf.query_stream(qb, k=k, n_probes=P,
+                                              pass_1=p1))
+            el = min(el, time.time() - t0)
+        qps = R * nq / el
+        rec = ""
+        if true_sets is not None:
+            g = out[0]
+            found = sum(len(true_sets[i] & set(row.tolist()))
+                        for i, row in enumerate(g))
+            rec = f"  recall{k}@{k}={found / k / nq:.4f}"
+        print(f"{tag} P={P:>2} pass_1={p1:>4}: "
+              f"sustained QPS={qps:,.0f}{rec}", flush=True)
