@@ -210,6 +210,32 @@ def test_tune_n_probes():
             assert r < 0.8
 
 
+def test_tune_n_probes_exact_mode():
+    """tune_n_probes on an exact-scan index: pass_1 there means the f32
+    rescore-sliver width (mult * k * n_probes, engine default 4kP), and
+    the tuner must reach a high target the PQ pool sizing can't express
+    (VERDICT r4 #10: the 0.95-recall engine gets a tested auto-tuner)."""
+    from tinyknn_tpu.models.ivf import tune_n_probes
+    np.random.seed(19)
+    n, d, nq, k = 1500, 12, 30, 10
+    X = np.random.randn(n, d).astype(np.float32)
+    qs = np.random.randn(nq, d).astype(np.float32)
+    trus = np.asarray(knn_brute(qs, X, k=k))
+    ivf = IVF("euclidean", 38, FastPQ(2, rotate_dim=None),
+              scan_impl="exact")
+    ivf.fit(X).build(X, n_probes=1)
+    p, p1, recall, curve = tune_n_probes(ivf, qs, trus, k=k,
+                                         target_recall=0.97)
+    assert recall >= 0.97, (p, p1, recall)
+    assert p1 >= 2 * k * max(p, 1)  # exact-mode sliver sizing (min mult x2)
+    assert curve[(p, p1)] == recall
+    # the tuned point reproduces through the public query API
+    g = np.asarray(ivf.query(qs, k=k, n_probes=p, pass_1=p1))
+    got = np.mean([len(set(a.tolist()) & set(t.tolist())) / k
+                   for a, t in zip(g, trus)])
+    assert got == recall
+
+
 def test_skewed_query_batch():
     """Queries concentrated near one cluster must not lose their nearest
     probe to bucket-capacity overflow at moderate batch sizes."""

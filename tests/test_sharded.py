@@ -288,3 +288,51 @@ def test_sharded_load_skips_single_device_derived(mesh, tmp_path):
     assert sivf2.csr_raw is None  # never read by the sharded path
     b = np.asarray(sivf2.query(qs, k=5, n_probes=3))
     np.testing.assert_array_equal(a, b)
+
+
+def test_sharded_query_stream_adaptive_qc(mesh):
+    """The sharded stream self-tunes its per-shard bucket capacities
+    exactly like the single-chip stream (models/ivf.py adaptive_qc): a
+    skewed stream that drops (query, probe) pairs under the raw
+    mean-load heuristic scans drop-free by default, and the result
+    matches query()'s escalated output."""
+    np.random.seed(41)
+    n, d, Q = 3000, 16, 64
+    X = np.random.randn(n, d).astype(np.float32)
+    qs = (X[13] + 0.02 * np.random.randn(2, Q, d)).astype(np.float32)
+    sivf = ShardedIVF("euclidean", 24, FastPQ(2, rotate_dim=None),
+                      mesh=mesh, seed=3)
+    sivf.fit(X).build(X, n_probes=2)
+
+    # the scenario bites: the heuristic alone drops pairs on this batch
+    _, st_raw = sivf.query_stream(qs, k=8, n_probes=3, with_stats=True,
+                                  adaptive_qc=False)
+    assert st_raw["dropped_probe_pairs"] > 0, st_raw
+
+    out, st = sivf.query_stream(qs, k=8, n_probes=3, with_stats=True)
+    assert st["dropped_probe_pairs"] == 0, st
+    assert (Q, 3) in sivf._stream_qc_floors  # floor cached per shape
+    for i in range(2):
+        single = np.asarray(sivf.query(qs[i], k=8, n_probes=3))
+        np.testing.assert_array_equal(np.asarray(out)[i], single)
+
+
+def test_sharded_query_stream_adaptive_drift_escalation(mesh):
+    """Query drift past a cached sharded floor: the overflowing stream
+    reports drops via the psum'd counter and escalates the cached floor
+    so the next same-shape stream is clean."""
+    np.random.seed(42)
+    n, d, Q = 3000, 16, 64
+    X = np.random.randn(n, d).astype(np.float32)
+    qs = (X[13] + 0.02 * np.random.randn(1, Q, d)).astype(np.float32)
+    sivf = ShardedIVF("euclidean", 24, FastPQ(2, rotate_dim=None),
+                      mesh=mesh, seed=3)
+    sivf.fit(X).build(X, n_probes=2)
+    # seed the cache with a stale (too-low) floor, as if earlier
+    # streams at this shape had been uniform
+    sivf._stream_qc_floors = {(Q, 3): (8, 8)}
+    _, st1 = sivf.query_stream(qs, k=8, n_probes=3, with_stats=True)
+    assert st1["dropped_probe_pairs"] > 0, st1
+    assert sivf._stream_qc_floors[(Q, 3)][0] > 8  # escalated for next
+    _, st2 = sivf.query_stream(qs, k=8, n_probes=3, with_stats=True)
+    assert st2["dropped_probe_pairs"] == 0, st2

@@ -287,6 +287,16 @@ class IVF:
         latency for small batches), or 'auto'. ``with_stats=True``
         additionally returns a diagnostics dict (probe pairs dropped by
         the bucket capacity, configured capacities).
+
+        Exact-mode cost note (``scan_impl='exact'``): the default f32
+        rescore sliver is ``4*k*n_probes`` — LINEAR in ``n_probes``,
+        deliberately uncapped (near-ties at the selection boundary grow
+        with the number of scanned lists; a fixed cap measurably loses
+        recall at P>=3, docs/PERFORMANCE.md). Raising ``n_probes`` on
+        an exact-mode index therefore grows the (Q, 4kP, d) rescore
+        gather and the tail fold width proportionally — unlike the PQ
+        path, where ``pass_1`` alone sets the rescore width. Pass an
+        explicit ``pass_1`` to pin the sliver (floored at k).
         """
         assert self.csr_codes is not None, (
             "IVF index is empty: call fit(X) and build(X) before query")
@@ -294,7 +304,6 @@ class IVF:
         single = q.ndim == 1
         if single:
             q = q[None]
-        n_active = self.active_centers.shape[0]
         cap = self.max_tiles * LANE_TILE
         # Deep candidate budget (r) for each query's nearest cluster (it
         # holds most true neighbors and estimate noise makes depth
@@ -352,21 +361,11 @@ class IVF:
             # the capacity and disables the escalation.
             check_drops = not self.queries_per_cluster
             attempts = 3 if check_drops else 1
-            # The can't-drop caps are bounded by a ~2 GB fold/bucket
-            # grid budget: unbounded qc_full = Q*P would size the
-            # (C, qc, S) scan grids in the hundreds of GB at 10k-query
-            # batches. If the cap still drops pairs (pathological
+            # If the budget-bounded cap still drops pairs (pathological
             # skew), the final attempt's count surfaces in with_stats.
-            s0_w = _fold_tiles(r, self.max_tiles, fold_mult) * LANE_TILE
-            st_w = _fold_tiles(r_tail, self.max_tiles,
-                               fold_mult) * LANE_TILE
-            budget = 2 << 30
-            qc_cap = max(qc, budget // max(1, 4 * n_active * st_w))
-            qc0_cap = max(qc0, budget // max(1, 4 * n_active * s0_w))
-            qc_full = min(round_up(q.shape[0] * n_probes, 8),
-                          round_up(qc_cap, 8))
-            qc0_full = min(round_up(q.shape[0], 8),
-                           round_up(qc0_cap, 8))
+            qc_full, qc0_full = _qc_caps(
+                self, q.shape[0], n_probes, r, r_tail, qc, qc0,
+                fold_mult)
             codes_arg = (self.csr_vecs if scan_impl == "exact"
                          else self.csr_codes)
             for _attempt in range(attempts):
@@ -552,15 +551,26 @@ def _exact_widths(mult, max_tiles, n_active, qc, qc0, k, pass_1,
             base)
 
 
-def _query_params(self, Q, k, n_probes, pass_1, qc_min=0, qc0_min=0):
-    """Shared query-shape parameter derivation (see IVF.query).
+def _query_params(self, Q, k, n_probes, pass_1, qc_min=0, qc0_min=0,
+                  n_active=None, n_probes_max=None):
+    """Shared query-shape parameter derivation — the ONE source of
+    truth for qc/qc0/r/r_tail/pass_1 sizing, used by IVF.query,
+    IVF.query_stream, ShardedIVF.query and ShardedIVF.query_stream
+    (the sharded paths inject their per-shard view instead of
+    re-implementing the arithmetic).
 
     ``qc_min``/``qc0_min``: capacity floors from a measured per-cluster
     load (the adaptive stream pre-pass) — they raise the mean-load
     heuristic, never lower it, and an explicit ``queries_per_cluster``
-    pin still overrides both."""
-    n_active = self.active_centers.shape[0]
-    n_probes = min(n_probes, n_active)
+    pin still overrides both. ``n_active``: cluster count the bucket
+    capacities and fold budgets are sized against (a shard passes its
+    LOCAL cluster count; Q is then the local query count). ``n_probes_
+    max``: probe clamp (a shard passes the GLOBAL active count — probes
+    select globally even though capacity is local)."""
+    if n_active is None:
+        n_active = self.active_centers.shape[0]
+    n_probes = min(n_probes, n_probes_max if n_probes_max is not None
+                   else self.active_centers.shape[0])
     k = min(k, int(self.data.shape[0]))
     cap = self.max_tiles * LANE_TILE
     qc = self.queries_per_cluster or max(
@@ -595,6 +605,86 @@ def _query_params(self, Q, k, n_probes, pass_1, qc_min=0, qc0_min=0):
         r_tail = min(pass_1, cap, max(3 * k, 16))
         pass_1 = min(pass_1, r + (n_probes - 1) * r_tail)
     return k, n_probes, pass_1, r, r_tail, qc, qc0
+
+
+def _qc_caps(self, Q, n_probes, r, r_tail, qc, qc0, fold_mult,
+             n_active=None):
+    """Can't-drop bucket-capacity caps for the drop-retry escalation,
+    bounded by a ~2 GB scan-grid budget: unbounded qc_full = Q*P would
+    size the (C, qc, S) fold/bucket grids in the hundreds of GB at
+    10k-query batches. Shared by IVF.query and ShardedIVF.query (which
+    passes its local query/cluster counts)."""
+    if n_active is None:
+        n_active = self.active_centers.shape[0]
+    s0_w = _fold_tiles(r, self.max_tiles, fold_mult) * LANE_TILE
+    st_w = _fold_tiles(r_tail, self.max_tiles, fold_mult) * LANE_TILE
+    budget = 2 << 30
+    qc_cap = max(qc, budget // max(1, 4 * n_active * st_w))
+    qc0_cap = max(qc0, budget // max(1, 4 * n_active * s0_w))
+    qc_full = min(round_up(Q * n_probes, 8), round_up(qc_cap, 8))
+    qc0_full = min(round_up(Q, 8), round_up(qc0_cap, 8))
+    return qc_full, qc0_full
+
+
+def _stream_adaptive_params(self, batches, k_arg, p_arg, p1_arg, params,
+                            fold_mult, Q=None, n_active=None,
+                            n_probes_max=None, q_clamp=None):
+    """Adaptive stream bucket capacities (shared by the single-chip and
+    sharded query_stream): measure the stream's peak per-cluster load
+    once per (Q, n_probes) shape (cached floor), clamp the floor by the
+    same scan-grid budget as the drop-retry caps, and re-derive the
+    query parameters with the floors injected. Returns
+    ``(params, floors, cache_key)``; the caller escalates the cached
+    floor if the (free, piggybacked) drop counter fires anyway.
+
+    ``Q``/``n_active``/``n_probes_max`` parameterize _query_params for
+    the sharded view (local query count / local clusters / global probe
+    clamp); ``q_clamp`` bounds the floors by the per-device query count
+    (a cluster cannot receive more pairs than local queries in either
+    round). The peak load is measured GLOBALLY (probe selection is
+    replicated), which for a query-sharded mesh upper-bounds every
+    device's local load — conservative, never lossy."""
+    k, n_probes, pass_1, r, r_tail, qc, qc0 = params
+    if Q is None:
+        Q = batches.shape[1]
+    if q_clamp is None:
+        q_clamp = Q
+    cache = getattr(self, "_stream_qc_floors", None)
+    if cache is None:
+        cache = self._stream_qc_floors = {}
+    key = (Q, n_probes)
+    if key not in cache:
+        m0, mt = jax.device_get(_stream_peak_loads(
+            batches, self.active_centers, n_probes=n_probes,
+            metric=self.metric))
+        cache[key] = (_qc_bucket(int(m0)), _qc_bucket(int(mt)))
+    floors = cache[key]
+    if floors[0] > qc0 or floors[1] > qc:
+        # clamp the floors by the ~2 GB scan-grid budget (the same
+        # bound query()'s can't-drop retry uses), then re-derive: in
+        # exact mode the fold widths adapt to the new capacity
+        if n_active is None:
+            n_active = self.active_centers.shape[0]
+        budget = 2 << 30
+        s0_w = _fold_tiles(r, self.max_tiles, fold_mult) * LANE_TILE
+        st_w = _fold_tiles(r_tail, self.max_tiles,
+                           fold_mult) * LANE_TILE
+        f0 = min(floors[0], round_up(q_clamp, 8), round_up(
+            max(qc0, budget // max(1, 4 * n_active * s0_w)), 8))
+        ft = min(floors[1], round_up(q_clamp, 8), round_up(
+            max(qc, budget // max(1, 4 * n_active * st_w)), 8))
+        params = _query_params(self, Q, k_arg, p_arg, p1_arg,
+                               qc_min=ft, qc0_min=f0, n_active=n_active,
+                               n_probes_max=n_probes_max)
+    return params, floors, key
+
+
+def _escalate_stream_floors(self, key, qc, qc0, q_clamp):
+    """Query drift overflowed a cached floor (or the budget clamp bit):
+    raise the cached floor so subsequent same-shape streams are clean."""
+    self._stream_qc_floors[key] = (
+        min(_qc_bucket(4 * qc0), round_up(q_clamp, 8)),
+        min(_qc_bucket(4 * qc), round_up(q_clamp, 8)))
 
 
 def _qc_bucket(n: int) -> int:
@@ -680,35 +770,12 @@ class _StreamMixin:
         fold_mult = getattr(self, "fold_mult", FOLD_MULT)
         adaptive = bool(adaptive_qc) and not self.queries_per_cluster
         k_arg, p_arg, p1_arg = k, n_probes, pass_1
-        k, n_probes, pass_1, r, r_tail, qc, qc0 = _query_params(
-            self, Q, k, n_probes, pass_1)
-        floors = (0, 0)
+        params = _query_params(self, Q, k, n_probes, pass_1)
+        floors, key = (0, 0), None
         if adaptive:
-            cache = getattr(self, "_stream_qc_floors", None)
-            if cache is None:
-                cache = self._stream_qc_floors = {}
-            key = (Q, n_probes)
-            if key not in cache:
-                m0, mt = jax.device_get(_stream_peak_loads(
-                    batches, self.active_centers, n_probes=n_probes,
-                    metric=self.metric))
-                cache[key] = (_qc_bucket(int(m0)), _qc_bucket(int(mt)))
-            floors = cache[key]
-        if floors[0] > qc0 or floors[1] > qc:
-            # clamp the floors by the ~2 GB scan-grid budget (the same
-            # bound query()'s can't-drop retry uses), then re-derive:
-            # in exact mode the fold widths adapt to the new capacity
-            n_active = self.active_centers.shape[0]
-            budget = 2 << 30
-            s0_w = _fold_tiles(r, self.max_tiles, fold_mult) * LANE_TILE
-            st_w = _fold_tiles(r_tail, self.max_tiles,
-                               fold_mult) * LANE_TILE
-            f0 = min(floors[0], round_up(Q, 8), round_up(
-                max(qc0, budget // max(1, 4 * n_active * s0_w)), 8))
-            ft = min(floors[1], round_up(Q, 8), round_up(
-                max(qc, budget // max(1, 4 * n_active * st_w)), 8))
-            k, n_probes, pass_1, r, r_tail, qc, qc0 = _query_params(
-                self, Q, k_arg, p_arg, p1_arg, qc_min=ft, qc0_min=f0)
+            params, floors, key = _stream_adaptive_params(
+                self, batches, k_arg, p_arg, p1_arg, params, fold_mult)
+        k, n_probes, pass_1, r, r_tail, qc, qc0 = params
         scan_impl = self.scan_impl
         if scan_impl == "auto":
             cap = self.max_tiles * LANE_TILE
@@ -738,11 +805,7 @@ class _StreamMixin:
         # anyway): the drop check is free per clean call, like query()'s
         out, dropped = jax.device_get((out, dropped))
         if adaptive and int(dropped):
-            # query drift overflowed the cached floor (or the budget
-            # clamp bit): escalate for subsequent same-shape streams
-            self._stream_qc_floors[key] = (
-                min(_qc_bucket(4 * qc0), round_up(Q, 8)),
-                min(_qc_bucket(4 * qc), round_up(Q, 8)))
+            _escalate_stream_floors(self, key, qc, qc0, Q)
         out = _map_labels(self.labels, out)
         if with_stats:
             return out, {
@@ -1186,6 +1249,13 @@ def tune_n_probes(ivf, queries, true_neighbours, k=10, target_recall=0.9,
     pass_1: the widest pool is tried first per n_probes, and only if
     it reaches the target are cheaper pools examined. Returns a
     ``TuneResult(n_probes, pass_1, recall, recalls)`` NamedTuple.
+
+    Exact-mode indexes (``scan_impl='exact'``) have different pass_1
+    semantics — it is the f32 rescore-sliver width, engine default
+    ``4*k*n_probes`` (see IVF.query) — so there the searched pools are
+    ``mult * k * n_probes``: the default ``pass1_mults`` probe the
+    engine's own sliver at 2x/4x(=default)/8x, same monotone
+    widest-first order.
     """
     import numpy as np
     queries = np.asarray(queries, dtype=np.float32)
@@ -1194,8 +1264,13 @@ def tune_n_probes(ivf, queries, true_neighbours, k=10, target_recall=0.9,
     mults = sorted(pass1_mults)
     recalls = {}
 
+    exact = getattr(ivf, "scan_impl", None) == "exact"
+
     def measure(n_probes, mult):
-        p1 = int(mult * ((n_probes + 1) * k + 1))
+        if exact:  # pass_1 = rescore-sliver width (default 4*k*P)
+            p1 = max(int(mult * k * max(n_probes, 1)), k)
+        else:
+            p1 = int(mult * ((n_probes + 1) * k + 1))
         if (n_probes, p1) in recalls:
             return p1, recalls[(n_probes, p1)]
         guesses = np.asarray(ivf.query(queries, k=k, n_probes=n_probes,

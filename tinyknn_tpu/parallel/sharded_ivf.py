@@ -36,7 +36,8 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import NamedSharding, PartitionSpec as P
 
-from ..models.ivf import IVF, _bucket_scan_round, default_qc0
+from ..models.ivf import (IVF, _bucket_scan_round, _escalate_stream_floors,
+                          _qc_caps, _query_params, _stream_adaptive_params)
 from ..models.fast_pq import _resolve_method
 from ..ops.topk import dedup_candidates
 from .mesh import make_mesh, replicate, shard_on_axis0
@@ -191,8 +192,6 @@ class ShardedIVF(IVF):
         single = q.ndim == 1
         if single:
             q = q[None]
-        n_probes = min(n_probes, self._n_active_real)
-        k = min(k, int(self.data.shape[0]))
         cap = self.max_tiles * 128
         from ..utils.padding import round_up
         c_dev = self.mesh.shape[self.axis]
@@ -202,27 +201,16 @@ class ShardedIVF(IVF):
         if true_q % q_dev:  # query-axis sharding needs equal slices
             q = np.pad(q, ((0, q_dev - true_q % q_dev), (0, 0)))
         q_local = q.shape[0] // q_dev
-        # capacities are per (query-shard, cluster-shard) pair: each
-        # device buckets its q_local queries over its C_pad/c_dev lists
-        qc = self.queries_per_cluster or max(
-            8, 8 * ((5 * q_local * n_probes * c_dev
-                     // (2 * max(C_pad, 1))) // 8 + 1))
-        qc0 = self.queries_per_cluster or default_qc0(
-            q_local, max(C_pad // c_dev, 1))
-        if self.scan_impl == "exact":
-            from ..models.ivf import FOLD_MULT, _exact_widths
-            r, r_tail, pass_1 = _exact_widths(
-                getattr(self, "fold_mult", FOLD_MULT) or FOLD_MULT,
-                self.max_tiles, max(C_pad // c_dev, 1), qc, qc0, k,
-                pass_1, n_probes=n_probes)
-        else:
-            if pass_1 is None:
-                pass_1 = (n_probes + 1) * k + 1
-            pass_1 = max(pass_1, k)  # p1 feeds a final top_k(k)
-            # same deep/shallow budgets as the single-chip path
-            r = min(pass_1, cap)
-            r_tail = min(pass_1, cap, max(3 * k, 16))
-            pass_1 = min(pass_1, r + (n_probes - 1) * r_tail)
+        # One source of truth for the sizing arithmetic (_query_params,
+        # models/ivf.py): capacities are per (query-shard,
+        # cluster-shard) pair — each device buckets its q_local queries
+        # over its C_pad/c_dev local lists — so the shard view is
+        # injected as (Q=q_local, n_active=c_local); probes clamp to
+        # the GLOBAL active count (selection is global).
+        c_local = max(C_pad // c_dev, 1)
+        k, n_probes, pass_1, r, r_tail, qc, qc0 = _query_params(
+            self, q_local, k, n_probes, pass_1, n_active=c_local,
+            n_probes_max=self._n_active_real)
         method = _resolve_method(self.pass1_method)
         fold_mult = getattr(self, "fold_mult", 8)
         scan_impl = self.scan_impl
@@ -260,18 +248,10 @@ class ShardedIVF(IVF):
         check_drops = not self.queries_per_cluster
         attempts = 3 if check_drops else 1
         # can't-drop caps bounded by the per-shard fold-grid budget
-        # (see models/ivf.py IVF.query)
-        from ..models.ivf import _fold_tiles
-        c_local = max(C_pad // c_dev, 1)
-        s0_w = _fold_tiles(r, self.max_tiles, fold_mult) * 128
-        st_w = _fold_tiles(r_tail, self.max_tiles, fold_mult) * 128
-        budget = 2 << 30
-        qc_full = min(round_up(q_local * n_probes, 8),
-                      round_up(max(qc, budget
-                                   // max(1, 4 * c_local * st_w)), 8))
-        qc0_full = min(round_up(q_local, 8),
-                       round_up(max(qc0, budget
-                                    // max(1, 4 * c_local * s0_w)), 8))
+        # (shared with IVF.query: models/ivf.py _qc_caps)
+        qc_full, qc0_full = _qc_caps(self, q_local, n_probes, r, r_tail,
+                                     qc, qc0, fold_mult,
+                                     n_active=c_local)
         codes_arg = (self.csr_vecs if scan_impl == "exact"
                      else self.csr_codes)
         for _attempt in range(attempts):
@@ -310,47 +290,47 @@ class ShardedIVF(IVF):
 
 
 def _sharded_stream_method(self, batches, k, n_probes=1, pass_1=None,
-                           with_stats=False):
+                           with_stats=False, adaptive_qc=True):
     """(R, Q, d) stream of batches in ONE dispatch over the mesh —
     the multi-chip serving shape (see IVF.query_stream). Tables are
     built per batch on each device's local query slice.
 
-    Like the single-chip stream there is NO drop-retry escalation: a
-    heavily skewed batch can overflow the per-shard bucket capacity
-    and silently lose (query, probe) pairs. ``with_stats=True``
-    additionally returns the psum'd dropped-pair total across the
-    stream and all shards; pin ``queries_per_cluster`` to eliminate
-    drops for known-skewed serving streams."""
+    Like the single-chip stream there is no drop-RETRY (a retry would
+    re-run the whole stream); instead ``adaptive_qc=True`` (default)
+    self-tunes the per-shard bucket capacities exactly like
+    IVF.query_stream: a cached pre-pass measures the stream's peak
+    per-cluster load (globally — probe selection is replicated, so the
+    global peak upper-bounds every shard's local load) and raises the
+    capacity floors so skewed batches scan drop-free; the psum'd
+    drop counter (free — it rides the output transfer) escalates the
+    cached floor if query drift ever overflows it. Floors are clamped
+    by the per-shard scan-grid budget; ``with_stats=True`` returns the
+    dropped-pair total across the stream and all shards; pinning
+    ``queries_per_cluster`` disables the adaptation."""
     batches = np.asarray(batches, dtype=np.float32)
     _, Qb, _ = batches.shape
-    n_probes = min(n_probes, self._n_active_real)
-    k = min(k, int(self.data.shape[0]))
     cap = self.max_tiles * 128
     c_dev = self.mesh.shape[self.axis]
     q_dev = self.mesh.shape[self.query_axis] if self.query_axis else 1
     C_pad = self.tile_offsets.shape[0]
     assert Qb % q_dev == 0, "stream batch size must divide the query axis"
     q_local = Qb // q_dev
-    qc = self.queries_per_cluster or max(
-        8, 8 * ((5 * q_local * n_probes * c_dev
-                 // (2 * max(C_pad, 1))) // 8 + 1))
-    qc0 = self.queries_per_cluster or default_qc0(
-        q_local, max(C_pad // c_dev, 1))
-    if self.scan_impl == "exact":
-        from ..models.ivf import FOLD_MULT, _exact_widths
-        r, r_tail, pass_1 = _exact_widths(
-            getattr(self, "fold_mult", FOLD_MULT) or FOLD_MULT,
-            self.max_tiles, max(C_pad // c_dev, 1), qc, qc0, k, pass_1,
-            n_probes=n_probes)
-    else:
-        if pass_1 is None:
-            pass_1 = (n_probes + 1) * k + 1
-        pass_1 = max(pass_1, k)  # p1 feeds a final top_k(k)
-        r = min(pass_1, cap)
-        r_tail = min(pass_1, cap, max(3 * k, 16))
-        pass_1 = min(pass_1, r + (n_probes - 1) * r_tail)
+    c_local = max(C_pad // c_dev, 1)
     method = _resolve_method(self.pass1_method)
     fold_mult = getattr(self, "fold_mult", 8)
+    adaptive = bool(adaptive_qc) and not self.queries_per_cluster
+    k_arg, p_arg, p1_arg = k, n_probes, pass_1
+    # one source of truth for the sizing (see ShardedIVF.query)
+    params = _query_params(self, q_local, k, n_probes, pass_1,
+                           n_active=c_local,
+                           n_probes_max=self._n_active_real)
+    floors, key = (0, 0), None
+    if adaptive:
+        params, floors, key = _stream_adaptive_params(
+            self, batches, k_arg, p_arg, p1_arg, params, fold_mult,
+            Q=q_local, n_active=c_local,
+            n_probes_max=self._n_active_real, q_clamp=q_local)
+    k, n_probes, pass_1, r, r_tail, qc, qc0 = params
     scan_impl = self.scan_impl
     if scan_impl == "auto":
         from ..models.ivf import _fused_ok
@@ -377,6 +357,10 @@ def _sharded_stream_method(self, batches, k, n_probes=1, pass_1=None,
         build_probes=getattr(self, "build_probes", 2),
         dpb=self.pq.dims_per_block,
         table_dtype=self.pq.table_dtype, fold_mult=fold_mult)
+    # one transfer for both: the drop check is free per clean call
+    out, dropped = jax.device_get((out, dropped))
+    if adaptive and int(dropped):
+        _escalate_stream_floors(self, key, qc, qc0, q_local)
     from ..models.ivf import _map_labels
     out = _map_labels(self.labels, out)
     if with_stats:
@@ -386,6 +370,7 @@ def _sharded_stream_method(self, batches, k, n_probes=1, pass_1=None,
             * n_probes,
             "queries_per_cluster_cap": qc,
             "queries_per_cluster_cap_round0": qc0,
+            "adaptive_qc_floors": floors if adaptive else None,
             "pass_1": pass_1,
         }
     return out
