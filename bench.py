@@ -442,6 +442,95 @@ def glove_scale_ivf(res):
     res["glove_exact_qps"] = round(qps_ex, 1)
     res["glove_exact_recall"] = round(rec_ex, 4)
 
+    # (c) build_probes=2 frontier: each point spills into its TWO
+    # nearest lists (reference ivf.py:85), so ONE probe covers 99.95%
+    # of true neighbors (examples/r5_ceiling_analysis.py) and the
+    # exact engine's P=1 point clears recall ~0.99 at the same speed
+    # as the bp=1 P=1 point — the round-5 headline operating point.
+    ivf_file2 = ivf_file.replace("build_probes=1", "build_probes=2")
+    t0 = time.time()
+    if os.path.isfile(ivf_file2):
+        ivf2 = load_ivf(ivf_file2)
+        log(f"loaded cached bp=2 GloVe index in {time.time()-t0:.1f}s")
+    else:
+        log("building bp=2 GloVe-scale index (several minutes)...")
+        ivf2 = tk.IVF("angular", n_clusters, tk.FastPQ(2))
+        ivf2.fit(data).build(data, n_probes=2)
+        save_ivf(ivf_file2, ivf2)
+        log(f"bp=2 fit+build+save: {time.time()-t0:.1f}s")
+    ivf2.set_scan_impl("exact")
+    qps_fr, rec_fr = sustained(ivf2, n_probes=1)
+    log(f"GloVe bp=2 exact frontier P=1: recall10@10={rec_fr:.4f} "
+        f"QPS={qps_fr:,.0f}")
+    res["glove_frontier_qps"] = round(qps_fr, 1)
+    res["glove_frontier_recall"] = round(rec_fr, 4)
+
+
+def euclid_scale_ivf(res):
+    """Euclidean-at-scale gate: the reference's second dataset config
+    (SIFT-shaped; reference examples/sift/convert.py:10-58 +
+    `bench.py --metric euclidean`) as a driver-measured operating
+    point, so the unsigned-table scheme (ops/quantization.py) can't
+    silently regress. 1M x 128 clustered, 10k queries, P=6."""
+    import jax.numpy as jnp
+    import tinyknn_tpu as tk
+    from tinyknn_tpu.io import load_ivf, save_ivf
+
+    size, dim, nq, k = 1000000, 128, 10000, 10
+    n_clusters = 1000
+    if SMOKE:
+        size, nq, n_clusters = 20000, 500, 141
+    rng = np.random.default_rng(10)
+    n_comp = int((size + nq) ** 0.5)
+    centers = rng.standard_normal((n_comp, dim), dtype=np.float32)
+    which = rng.integers(0, n_comp, size + nq)
+    data = centers[which] + 0.5 * rng.standard_normal(
+        (size + nq, dim), dtype=np.float32)
+    data, queries = data[:-nq], data[-nq:]
+
+    cache_dir = "/tmp/" if SMOKE else ""
+    trus_file = (f"{cache_dir}trus_clustered-{size}-{dim}_k_neighbours="
+                 f"{k}_num_queries={nq}_metric='euclidean'.npy")
+    if os.path.isfile(trus_file):
+        trus = np.load(trus_file)
+    else:
+        log("computing euclid-scale ground truth (TPU brute force)...")
+        trus = np.asarray(tk.knn_brute(queries, data, k,
+                                       metric="euclidean"))
+        np.save(trus_file, trus)
+    true_sets = [set(t.tolist()) for t in trus]
+
+    ivf_file = (f"{cache_dir}ivf_clustered-{size}-{dim}_euclidean_"
+                f"num_clusters={n_clusters}_dims_per_block=2_"
+                f"build_probes=1.npz")
+    t0 = time.time()
+    if os.path.isfile(ivf_file):
+        ivf = load_ivf(ivf_file)
+        log(f"loaded cached euclid index in {time.time()-t0:.1f}s")
+    else:
+        log("building euclid-scale index (several minutes)...")
+        ivf = tk.IVF("euclidean", n_clusters, tk.FastPQ(2))
+        ivf.fit(data).build(data, n_probes=1)
+        save_ivf(ivf_file, ivf)
+        log(f"euclid fit+build+save: {time.time()-t0:.1f}s")
+
+    reps = 2 if SMOKE else 5
+    P = 6
+    p1 = 4 * ((P + 1) * k + 1)
+    jq = jnp.asarray(queries[None]
+                     + np.arange(reps, dtype=np.float32)[:, None, None]
+                     * 1e-6)
+    out = np.asarray(ivf.query_stream(jq, k=k, n_probes=P, pass_1=p1))
+    el = _best_of(lambda: np.asarray(ivf.query_stream(
+        jq, k=k, n_probes=P, pass_1=p1)))
+    qps = reps * nq / el
+    rec = sum(len(true_sets[i] & set(g.tolist()))
+              for i, g in enumerate(np.asarray(out[0]))) / (k * nq)
+    log(f"euclid-scale PQ path P={P}: recall10@10={rec:.4f} "
+        f"QPS={qps:,.0f}")
+    res["euclid_qps"] = round(qps, 1)
+    res["euclid_recall"] = round(rec, 4)
+
 
 def run_workload():
     import jax
@@ -454,7 +543,8 @@ def run_workload():
     fastpq_fullscan(res)            # headline — let failures propagate
     res["t_fastpq_s"] = round(time.time() - t0, 1)
     notes = []
-    for section in (hw_gate_production_kernels, glove_scale_ivf):
+    for section in (hw_gate_production_kernels, glove_scale_ivf,
+                    euclid_scale_ivf):
         t0 = time.time()
         try:
             section(res)
@@ -483,6 +573,8 @@ def run_workload():
         and res.get("gate_exact_recall", 1.0) >= 0.97
         and res.get("glove_pq_recall", 1.0) >= 0.374
         and res.get("glove_ns_recall", 1.0) >= 0.374
+        and res.get("glove_frontier_recall", 1.0) >= 0.97
+        and res.get("euclid_recall", 1.0) >= 0.78
     )
     if not quality_ok:
         log("QUALITY GATE FAILED — reporting vs_baseline=0")
@@ -497,7 +589,9 @@ def run_workload():
                 "glove_ns_qps", "glove_ns_recall", "glove_ns_tables",
                 "glove_ns_pass1",
                 "glove_vs_cython_at_0374", "glove_exact_qps",
-                "glove_exact_recall", "search_qps",
+                "glove_exact_recall",
+                "glove_frontier_qps", "glove_frontier_recall",
+                "euclid_qps", "euclid_recall", "search_qps",
                 "search_recall1_at_10", "rank_median", "rank_q90",
                 "glove_build_s", "t_fastpq_s",
                 "t_hw_gate_production_kernels_s", "t_glove_scale_ivf_s"):

@@ -67,7 +67,11 @@ for bp in (1, 2):
     for P in (1, 2, 3):
         member = member64 = rec32 = rec64 = 0
         for i in range(nq):
-            ids = np.concatenate([lists[c] for c in order[i, :P]])
+            # unique: a bp>=2 archive spills each point into several
+            # lists, and duplicate ids would crowd the argpartition
+            # top-k (first-run bug: bp=2 P>=2 "recall" collapsed)
+            ids = np.unique(np.concatenate(
+                [lists[c] for c in order[i, :P]]))
             s = set(ids.tolist())
             member += len(true_sets[i] & s)
             member64 += len(true64_sets[i] & s)

@@ -50,6 +50,26 @@ t0 = time.time()
 assert float((jnp.ones((8, 8)) @ jnp.ones((8, 8))).sum()) == 512.0
 print(f"chip probe ok in {time.time()-t0:.1f}s", flush=True)
 
+# validate the knn_brute precision fix ON DEVICE: HIGHEST-precision
+# truth must agree with the f64 CPU truth (the old DEFAULT-precision
+# truth agreed only 0.9809 — the bf16-truncation artifact)
+if os.path.isfile("trus64_clustered-1183514-100_k10_nq10000_angular.npy"):
+    from tinyknn_tpu import knn_brute
+    rng2 = np.random.default_rng(10)
+    cents2 = rng2.standard_normal((n_comp, dim), dtype=np.float32)
+    which2 = rng2.integers(0, n_comp, size + nq)
+    full = cents2[which2] + 0.5 * rng2.standard_normal(
+        (size + nq, dim), dtype=np.float32)
+    t0 = time.time()
+    sub = np.asarray(knn_brute(queries[:2000], full[:-nq], k,
+                               metric="angular"))
+    t64 = np.load("trus64_clustered-1183514-100_k10_nq10000_angular.npy")
+    agree = np.mean([len(set(a.tolist()) & set(b.tolist())) / k
+                     for a, b in zip(sub, t64[:2000])])
+    print(f"knn_brute(HIGHEST) vs f64 truth agreement on 2000 queries: "
+          f"{agree:.4f} ({time.time()-t0:.1f}s)", flush=True)
+    del full
+
 
 def sustained(ivf_obj, n_probes, pass_1=None, reps=5):
     jq = jnp.asarray(
@@ -77,19 +97,17 @@ for bp in (1, 2):
     ivf = load_ivf(ivf_file)
     print(f"loaded bp={bp} index in {time.time()-t0:.1f}s", flush=True)
 
-    if bp == 2:
-        # PQ-path points for the sweep table (quality pool, p1=4x)
-        for p in (1, 2, 3):
-            p1 = 4 * ((p + 1) * k + 1)
-            qps, rec = sustained(ivf, n_probes=p, pass_1=p1)
-            print(f"bp=2 PQ    P={p} p1={p1}: recall10@10={rec:.4f} "
-                  f"QPS={qps:,.0f}", flush=True)
+    # PQ-path points for the sweep table (quality pool, p1=4x)
+    for p in (1, 2, 3):
+        p1 = 4 * ((p + 1) * k + 1)
+        qps, rec = sustained(ivf, n_probes=p, pass_1=p1)
+        print(f"bp={bp} PQ    P={p} p1={p1}: recall10@10={rec:.4f} "
+              f"QPS={qps:,.0f}", flush=True)
 
     t0 = time.time()
     ivf.set_scan_impl("exact")
     print(f"derived exact tiles in {time.time()-t0:.1f}s", flush=True)
-    probes = (1,) if bp == 1 else (1, 2, 3, 4)
-    for p in probes:
+    for p in (1, 2, 3, 4):
         qps, rec = sustained(ivf, n_probes=p)
         print(f"bp={bp} exact P={p}: recall10@10={rec:.4f} "
               f"QPS={qps:,.0f}", flush=True)

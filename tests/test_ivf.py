@@ -328,8 +328,10 @@ def test_query_stream_adaptive_qc():
 
 def test_query_stream_adaptive_qc_drift_escalation():
     """If query drift overflows a cached floor, the overflowing stream
-    reports its drops (free piggybacked counter) and the floor
-    escalates so the next same-shape stream is clean."""
+    reports its drops (free piggybacked counter) and the floor is
+    RE-MEASURED on the dropping stream so the next same-shape stream
+    is clean (re-measure converges; blind 4x escalation caused a
+    recompile-per-call collapse at scale — r5_euclid_stream_diag)."""
     np.random.seed(32)
     n, d, Q = 3000, 16, 64
     X = np.random.randn(n, d).astype(np.float32)
@@ -341,7 +343,7 @@ def test_query_stream_adaptive_qc_drift_escalation():
     ivf._stream_qc_floors = {(Q, 3): (8, 8)}
     _, st1 = ivf.query_stream(qs, k=8, n_probes=3, with_stats=True)
     assert st1["dropped_probe_pairs"] > 0, st1
-    assert ivf._stream_qc_floors[(Q, 3)][0] > 8  # escalated for next
+    assert ivf._stream_qc_floors[(Q, 3)][0] > 8  # refreshed for next
     _, st2 = ivf.query_stream(qs, k=8, n_probes=3, with_stats=True)
     assert st2["dropped_probe_pairs"] == 0, st2
 
@@ -471,6 +473,40 @@ def test_exact_mode_full_probe_is_exact():
         rec = np.mean([len(set(g.tolist()) & set(t.tolist())) / 5
                        for g, t in zip(got, trus)])
         assert rec >= 0.99, (metric, rec)
+
+
+def test_exact_mode_gather_small_batch():
+    """Exact-engine gather (latency) mode: per-query list gather with
+    true bf16 distances + thin f32 rescore. Must reproduce true kNN at
+    full coverage, agree with the bucket engine at partial coverage,
+    and serve a single (d,) query (the reference's per-query shape,
+    tinyknn/ivf.py:106) — VERDICT r4 #9."""
+    np.random.seed(47)
+    for metric in ["euclidean", "angular"]:
+        X = np.random.randn(800, 12).astype(np.float32)
+        qs = np.random.randn(8, 12).astype(np.float32)
+        trus = np.asarray(knn_brute(qs, X, k=5, metric=metric))
+        ivf = IVF(metric, 8, FastPQ(2, rotate_dim=None),
+                  scan_impl="exact")
+        ivf.fit(X).build(X, n_probes=1)
+        # full coverage -> exact kNN through the gather path
+        got, st = ivf.query(qs, k=5, n_probes=8, with_stats=True)
+        assert st["mode"] == "gather", st  # Q*P=64 <= threshold
+        got = np.asarray(got)
+        rec = np.mean([len(set(g.tolist()) & set(t.tolist())) / 5
+                       for g, t in zip(got, trus)])
+        assert rec >= 0.99, (metric, rec)
+        # partial coverage: gather and bucket agree (same selection
+        # semantics; both rescore their sliver in f32)
+        a = np.asarray(ivf.query(qs, k=5, n_probes=3, mode="gather"))
+        b = np.asarray(ivf.query(qs, k=5, n_probes=3, mode="bucket"))
+        overlap = np.mean([len(set(x.tolist()) & set(y.tolist())) / 5
+                           for x, y in zip(a, b)])
+        assert overlap >= 0.9, (metric, overlap)
+        # single-query shape
+        one = np.asarray(ivf.query(qs[0], k=5, n_probes=8))
+        assert one.shape == (5,)
+        assert set(one.tolist()) == set(got[0].tolist())
 
 
 def test_exact_mode_beats_pq_recall():

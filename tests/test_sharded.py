@@ -319,8 +319,8 @@ def test_sharded_query_stream_adaptive_qc(mesh):
 
 def test_sharded_query_stream_adaptive_drift_escalation(mesh):
     """Query drift past a cached sharded floor: the overflowing stream
-    reports drops via the psum'd counter and escalates the cached floor
-    so the next same-shape stream is clean."""
+    reports drops via the psum'd counter and re-measures the cached
+    floor so the next same-shape stream is clean."""
     np.random.seed(42)
     n, d, Q = 3000, 16, 64
     X = np.random.randn(n, d).astype(np.float32)
@@ -333,6 +333,6 @@ def test_sharded_query_stream_adaptive_drift_escalation(mesh):
     sivf._stream_qc_floors = {(Q, 3): (8, 8)}
     _, st1 = sivf.query_stream(qs, k=8, n_probes=3, with_stats=True)
     assert st1["dropped_probe_pairs"] > 0, st1
-    assert sivf._stream_qc_floors[(Q, 3)][0] > 8  # escalated for next
+    assert sivf._stream_qc_floors[(Q, 3)][0] > 8  # refreshed for next
     _, st2 = sivf.query_stream(qs, k=8, n_probes=3, with_stats=True)
     assert st2["dropped_probe_pairs"] == 0, st2

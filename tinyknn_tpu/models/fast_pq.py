@@ -372,7 +372,8 @@ def _two_pass_top(codes, tables, raw_q, data, true_n: int, k: int,
             interpret=jax.default_backend() != "tpu")
         gathered = data[cand]                        # (Q, rescore, d)
         diff = gathered - raw_q[:, None, :]
-        d2 = jnp.einsum("qrd,qrd->qr", diff, diff)
+        d2 = jnp.einsum("qrd,qrd->qr", diff, diff,
+                     precision=jax.lax.Precision.HIGHEST)
         d2 = jnp.where(valid, d2, jnp.inf)
         _, best = jax.lax.top_k(-d2, k)
         return jnp.take_along_axis(cand, best, axis=1)
@@ -388,6 +389,7 @@ def _two_pass_top(codes, tables, raw_q, data, true_n: int, k: int,
         return cand
     gathered = data[cand]                            # (Q, rescore, d)
     diff = gathered - raw_q[:, None, :]
-    d2 = jnp.einsum("qrd,qrd->qr", diff, diff)
+    d2 = jnp.einsum("qrd,qrd->qr", diff, diff,
+                     precision=jax.lax.Precision.HIGHEST)
     _, best = jax.lax.top_k(-d2, k)
     return jnp.take_along_axis(cand, best, axis=1)

@@ -327,19 +327,20 @@ class IVF:
             assert self.csr_vecs is not None, (
                 "exact mode requires an index built with "
                 "scan_impl='exact' (raw vector tiles)")
-            mode = "bucket"  # the exact kernel has no gather variant
-        elif mode == "auto":
+        if mode == "auto":
             mode = "gather" if q.shape[0] * n_probes <= 64 else "bucket"
 
         if mode == "gather":
             out = _ivf_query_gather(
                 jnp.asarray(q), self.pq.center_blocks, self.pq.R,
-                self.active_centers, self.csr_codes, self.csr_ids,
-                self.tile_offsets, self.list_counts,
+                self.active_centers,
+                self.csr_vecs if scan_impl == "exact" else self.csr_codes,
+                self.csr_ids, self.tile_offsets, self.list_counts,
                 self.data, dpb=self.pq.dims_per_block, metric=self.metric,
                 k=k, n_probes=n_probes, pass_1=pass_1,
                 max_tiles=self.max_tiles,
-                table_dtype=self.pq.table_dtype)
+                table_dtype=self.pq.table_dtype,
+                exact=scan_impl == "exact")
             # host array like the bucket path (whose drop check
             # device_gets) — the public return type must not depend on
             # which mode 'auto' picked
@@ -446,7 +447,8 @@ def _augment_data_csr(data, flat_ids):
     fold encoding stays order-preserving)."""
     d = data.shape[1]
     rows = data[jnp.maximum(flat_ids, 0)]             # (T*128, d) f32
-    xn = jnp.einsum("nd,nd->n", rows, rows)
+    xn = jnp.einsum("nd,nd->n", rows, rows,
+                    precision=jax.lax.Precision.HIGHEST)
     hi = xn.astype(jnp.bfloat16).astype(jnp.float32)
     aug = jnp.zeros((rows.shape[0], _aug_dim(d)), jnp.float32)
     aug = aug.at[:, :d].set(rows)
@@ -465,7 +467,8 @@ def _augment_queries(q):
     unaffected (unlike the per-point norms, which get the hi/lo
     split)."""
     d = q.shape[1]
-    qn = jnp.einsum("qd,qd->q", q, q)
+    qn = jnp.einsum("qd,qd->q", q, q,
+                    precision=jax.lax.Precision.HIGHEST)
     aug = jnp.zeros((q.shape[0], _aug_dim(d)), jnp.float32)
     aug = aug.at[:, :d].set(-2.0 * q)
     aug = aug.at[:, d].set(1.0)
@@ -634,8 +637,10 @@ def _stream_adaptive_params(self, batches, k_arg, p_arg, p1_arg, params,
     once per (Q, n_probes) shape (cached floor), clamp the floor by the
     same scan-grid budget as the drop-retry caps, and re-derive the
     query parameters with the floors injected. Returns
-    ``(params, floors, cache_key)``; the caller escalates the cached
-    floor if the (free, piggybacked) drop counter fires anyway.
+    ``(params, floors, cache_key)``; if the (free, piggybacked) drop
+    counter fires anyway the caller re-measures the floor on the
+    dropping stream (_refresh_stream_floors — drift handling that
+    converges, unlike blind escalation).
 
     ``Q``/``n_active``/``n_probes_max`` parameterize _query_params for
     the sharded view (local query count / local clusters / global probe
@@ -679,12 +684,29 @@ def _stream_adaptive_params(self, batches, k_arg, p_arg, p1_arg, params,
     return params, floors, key
 
 
-def _escalate_stream_floors(self, key, qc, qc0, q_clamp):
-    """Query drift overflowed a cached floor (or the budget clamp bit):
-    raise the cached floor so subsequent same-shape streams are clean."""
-    self._stream_qc_floors[key] = (
-        min(_qc_bucket(4 * qc0), round_up(q_clamp, 8)),
-        min(_qc_bucket(4 * qc), round_up(q_clamp, 8)))
+def _refresh_stream_floors(self, key, batches, n_probes):
+    """A stream dropped pairs despite adaptive capacities. Two causes:
+
+    * query drift — the cached floor was measured on an earlier
+      same-shape stream with hotter-or-colder data. Response:
+      RE-MEASURE the pre-pass on THIS stream (one small dispatch) and
+      cache the exact floor, so the next same-shape stream is clean
+      after at most one recompile.
+    * the scan-grid budget clamp — the measured floor exceeds what the
+      ~2 GB budget admits, so capacity is (correctly) pinned below the
+      true peak and drops are the budget's price. Re-measuring returns
+      the same floor, the cache does NOT change, and subsequent calls
+      keep the compiled shape. (The previous blind-4x escalation kept
+      inflating the cached floors past the clamp — including round
+      0's, which wasn't even dropping — which changed qc0 every call
+      and forced a RECOMPILE PER CALL: the round-5 euclid-at-scale
+      P=3/4 '3k QPS' collapse, examples/r5_euclid_stream_diag.py.)
+    """
+    m0, mt = jax.device_get(_stream_peak_loads(
+        batches, self.active_centers, n_probes=n_probes,
+        metric=self.metric))
+    self._stream_qc_floors[key] = (_qc_bucket(int(m0)),
+                                   _qc_bucket(int(mt)))
 
 
 def _qc_bucket(n: int) -> int:
@@ -704,17 +726,20 @@ def _stream_peak_loads(batches, active_centers, *, n_probes, metric):
     drop-free scan. Mirrors _ivf_query's probe selection arithmetic
     bit-for-bit (same normalize / qn + cn - 2qc / top_k) so the
     measured loads are the loads the scan will see."""
-    cn = jnp.einsum("cd,cd->c", active_centers, active_centers)
+    cn = jnp.einsum("cd,cd->c", active_centers, active_centers,
+                    precision=jax.lax.Precision.HIGHEST)
     C = active_centers.shape[0]
 
     def body(q):
         if metric == "angular":
             q = q / jnp.maximum(
                 jnp.linalg.norm(q, axis=1, keepdims=True), 1e-12)
-        qn = jnp.einsum("qd,qd->q", q, q)
+        qn = jnp.einsum("qd,qd->q", q, q,
+                    precision=jax.lax.Precision.HIGHEST)
         d2c = qn[:, None] + cn[None, :] - 2.0 * jax.lax.dot_general(
             q, active_centers, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)
         _, sel = jax.lax.top_k(-d2c, n_probes)
         load0 = jnp.zeros((C,), jnp.int32).at[sel[:, 0]].add(1)
         if n_probes > 1:
@@ -805,7 +830,7 @@ class _StreamMixin:
         # anyway): the drop check is free per clean call, like query()'s
         out, dropped = jax.device_get((out, dropped))
         if adaptive and int(dropped):
-            _escalate_stream_floors(self, key, qc, qc0, Q)
+            _refresh_stream_floors(self, key, batches, n_probes)
         out = _map_labels(self.labels, out)
         if with_stats:
             return out, {
@@ -1115,11 +1140,14 @@ def _ivf_query(q, center_blocks, R, active_centers, csr_codes, csr_ids,
     # -- 1. probe selection (exact, on MXU; an approx_max_k variant
     # was measured recall- and QPS-neutral — the front cost is the
     # table build + bucketing, not this top-P)
-    qn = jnp.einsum("qd,qd->q", q, q)
-    cn = jnp.einsum("cd,cd->c", active_centers, active_centers)
+    qn = jnp.einsum("qd,qd->q", q, q,
+                    precision=jax.lax.Precision.HIGHEST)
+    cn = jnp.einsum("cd,cd->c", active_centers, active_centers,
+                    precision=jax.lax.Precision.HIGHEST)
     d2c = qn[:, None] + cn[None, :] - 2.0 * jax.lax.dot_general(
         q, active_centers, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32)
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST)
     _, probe_sel = jax.lax.top_k(-d2c, P)            # (Q, P) int32
 
     # -- 2-3. scan rounds
@@ -1169,7 +1197,8 @@ def _ivf_query(q, center_blocks, R, active_centers, csr_codes, csr_ids,
             valid_sel = enc_sel < jnp.int32(ENC_INVALID)
             gathered = csr_raw[rows_sel]              # (Q, p1, d)
             diff = gathered - q[:, None, :]
-            d2 = jnp.einsum("qrd,qrd->qr", diff, diff)
+            d2 = jnp.einsum("qrd,qrd->qr", diff, diff,
+                     precision=jax.lax.Precision.HIGHEST)
             d2 = jnp.where(valid_sel, d2, jnp.inf)
             if f > 1:
                 k2 = min(k * f, p1)
@@ -1208,7 +1237,8 @@ def _ivf_query(q, center_blocks, R, active_centers, csr_codes, csr_ids,
     # collapses to ~4k), so the gather stays cheap.
     gathered = data[jnp.maximum(cand, 0)]             # (Q, p1, d)
     diff = gathered - q[:, None, :]
-    d2 = jnp.einsum("qrd,qrd->qr", diff, diff)
+    d2 = jnp.einsum("qrd,qrd->qr", diff, diff,
+                     precision=jax.lax.Precision.HIGHEST)
     d2 = jnp.where(cand >= 0, d2, jnp.inf)
     if f > 1:
         k2 = min(k * f, p1)
@@ -1300,12 +1330,13 @@ def tune_n_probes(ivf, queries, true_neighbours, k=10, target_recall=0.9,
 
 
 @partial(jax.jit, static_argnames=("dpb", "metric", "k", "n_probes",
-                                   "pass_1", "max_tiles", "table_dtype"))
+                                   "pass_1", "max_tiles", "table_dtype",
+                                   "exact"))
 def _ivf_query_gather(q, center_blocks, R, active_centers, csr_codes,
                       csr_ids, tile_offsets, list_counts, data, *,
                       dpb: int, metric: str, k: int, n_probes: int,
                       pass_1: int, max_tiles: int,
-                      table_dtype: str = "int8"):
+                      table_dtype: str = "int8", exact: bool = False):
     """Latency-mode query: gather each query's probed lists directly.
 
     For small batches the bucketed scan wastes work on the (C, qc) grid;
@@ -1314,6 +1345,12 @@ def _ivf_query_gather(q, center_blocks, R, active_centers, csr_codes,
     matvec (VPU-bound), fine at small Q*P — this is the shape of the
     reference's per-query loop (tinyknn/ivf.py:140-150), kept for
     single-query latency parity.
+
+    ``exact=True``: csr_codes holds the exact engine's augmented bf16
+    vector tiles (see _augment_data_csr) instead of PQ codes — the
+    per-list contraction then yields TRUE (bf16-rounded) squared
+    distances and the thin f32 rescore finishes the job, so the
+    0.95-recall engine has a small-batch serving path too.
     """
     Q, d = q.shape
     cap = max_tiles * LANE_TILE
@@ -1321,32 +1358,45 @@ def _ivf_query_gather(q, center_blocks, R, active_centers, csr_codes,
     P = n_probes
     if metric == "angular":
         q = q / jnp.maximum(jnp.linalg.norm(q, axis=1, keepdims=True), 1e-12)
-    tables = _build_tables(q, center_blocks, R, dpb, True,
-                           table_dtype).tables
+    if not exact:
+        tables = _build_tables(q, center_blocks, R, dpb, True,
+                               table_dtype).tables
 
-    qn = jnp.einsum("qd,qd->q", q, q)
-    cn = jnp.einsum("cd,cd->c", active_centers, active_centers)
+    qn = jnp.einsum("qd,qd->q", q, q,
+                    precision=jax.lax.Precision.HIGHEST)
+    cn = jnp.einsum("cd,cd->c", active_centers, active_centers,
+                    precision=jax.lax.Precision.HIGHEST)
     d2c = qn[:, None] + cn[None, :] - 2.0 * jax.lax.dot_general(
         q, active_centers, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32)
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST)
     _, probe_sel = jax.lax.top_k(-d2c, P)             # (Q, P)
 
-    B = tables.shape[1]
     toff_p = tile_offsets[probe_sel]                  # (Q, P)
-    codes_p = unpack_codes(
-        _tiles_to_dense(csr_codes, toff_p, max_tiles))[..., :B]
-    # (Q, P, cap, B); phantom storage-pad blocks sliced off
     rows_p = _rows_of(toff_p, cap, n_rows)            # (Q, P, cap)
     in_list = (jnp.arange(cap, dtype=jnp.int32)[None, None, :]
                < list_counts[probe_sel][:, :, None])
     ids_p = jnp.where(in_list, csr_ids[rows_p], -1)   # (Q, P, cap)
-    floating = jnp.issubdtype(tables.dtype, jnp.floating)
-    onehot = jax.nn.one_hot(
-        codes_p, 16, dtype=tables.dtype if floating else jnp.int8)
-    est = jnp.einsum(
-        "qpcbv,qbv->qpc", onehot, tables,
-        preferred_element_type=(jnp.float32 if floating else jnp.int32)
-    ).astype(jnp.float32)
+    if exact:
+        # augmented bf16 vector tiles: one contraction with the
+        # augmented query = true squared distance (>= 0 by construction)
+        vec_p = _tiles_to_dense(csr_codes, toff_p, max_tiles)
+        qa = _augment_queries(q)                      # (Q, d_aug) bf16
+        est = jnp.einsum("qpcd,qd->qpc", vec_p, qa[:, :vec_p.shape[-1]],
+                         preferred_element_type=jnp.float32)
+    else:
+        B = tables.shape[1]
+        codes_p = unpack_codes(
+            _tiles_to_dense(csr_codes, toff_p, max_tiles))[..., :B]
+        # (Q, P, cap, B); phantom storage-pad blocks sliced off
+        floating = jnp.issubdtype(tables.dtype, jnp.floating)
+        onehot = jax.nn.one_hot(
+            codes_p, 16, dtype=tables.dtype if floating else jnp.int8)
+        est = jnp.einsum(
+            "qpcbv,qbv->qpc", onehot, tables,
+            preferred_element_type=(jnp.float32 if floating
+                                    else jnp.int32)
+        ).astype(jnp.float32)
     est = jnp.where(ids_p >= 0, est, jnp.inf)
     flat_vals = est.reshape(Q, P * cap)
     flat_ids = ids_p.reshape(Q, P * cap)
@@ -1357,7 +1407,8 @@ def _ivf_query_gather(q, center_blocks, R, active_centers, csr_codes,
 
     gathered = data[jnp.maximum(cand, 0)]
     diff = gathered - q[:, None, :]
-    d2 = jnp.einsum("qrd,qrd->qr", diff, diff)
+    d2 = jnp.einsum("qrd,qrd->qr", diff, diff,
+                     precision=jax.lax.Precision.HIGHEST)
     d2 = jnp.where(cand >= 0, d2, jnp.inf)
     _, best = jax.lax.top_k(-d2, k)
     out = jnp.take_along_axis(cand, best, axis=1)

@@ -120,21 +120,32 @@ _ENC_BIG = 2**31 - 1  # invalid-entry sentinel in the encoded domain
 # --------------------------------------------------------------------
 
 
-def _estimate_T_kernel(tsel_ref, codes_ref, out_ref):
-    codes = codes_ref[0].astype(jnp.int32)            # (Bs, 128)
-    codes = _unpack_evens_odds_T(codes)               # (B, 128)
-    onehot = _onehot_tiled_T(codes)                   # (16B, 128) int8
+def _estimate_T_kernel(tsel_ref, codes_ref, out_ref, *, KT: int):
+    if KT == 1:
+        codes = codes_ref[0].astype(jnp.int32)        # (Bs, 128)
+    else:
+        # KT tiles concatenated on lanes: one (B, KT*128) unpack +
+        # one-hot at full VPU width, ONE (q_pad, 16B) x (16B, KT*128)
+        # MXU contraction — N = KT*128 output tiles pipeline the MXU
+        # where N = 128 issued one tile per step (round-5 perf work).
+        codes = jnp.concatenate(
+            [codes_ref[i].astype(jnp.int32) for i in range(KT)], axis=1)
+    codes = _unpack_evens_odds_T(codes)               # (B, KT*128)
+    onehot = _onehot_tiled_T(codes)                   # (16B, KT*128)
     out_ref[...] = jax.lax.dot_general(
         tsel_ref[...], onehot, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.int32)             # (Q_pad, 128)
+        preferred_element_type=jnp.int32)             # (Q_pad, KT*128)
 
 
-@partial(jax.jit, static_argnames=("interpret",))
-def estimate_scan_tiled(codes_tiled, tables, interpret: bool = False):
+@partial(jax.jit, static_argnames=("interpret", "kt"))
+def estimate_scan_tiled(codes_tiled, tables, interpret: bool = False,
+                        kt: int = 8):
     """Full-scan ADC estimate over pre-tiled packed codes.
 
     codes_tiled: uint8[T, Bs_pad, 128] (tile_codes / pack_codes_tiled
     layout); tables: int8[Q, B, 16]. Returns int32[Q, T * 128].
+
+    ``kt``: code tiles per grid step (the MXU N dimension is kt*128).
     """
     T = codes_tiled.shape[0]
     Q, B, _ = tables.shape
@@ -143,23 +154,30 @@ def estimate_scan_tiled(codes_tiled, tables, interpret: bool = False):
     M = tsel.shape[1]
     if q_pad != Q:
         tsel = jnp.pad(tsel, ((0, q_pad - Q), (0, 0)))
+    kt = max(1, min(kt, T))
+    T_pad = round_up(T, kt)
+    if T_pad != T:
+        codes_tiled = jnp.pad(
+            codes_tiled, ((0, T_pad - T), (0, 0), (0, 0)))
     out = pl.pallas_call(
-        _estimate_T_kernel,
-        grid=(T,),
+        partial(_estimate_T_kernel, KT=kt),
+        grid=(T_pad // kt,),
         in_specs=[
             pl.BlockSpec((q_pad, M), lambda t: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, codes_tiled.shape[1], LANE_TILE),
+            pl.BlockSpec((kt, codes_tiled.shape[1], LANE_TILE),
                          lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((q_pad, LANE_TILE), lambda t: (0, t),
+        out_specs=pl.BlockSpec((q_pad, kt * LANE_TILE),
+                               lambda t: (0, t),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((q_pad, T * LANE_TILE), jnp.int32),
+        out_shape=jax.ShapeDtypeStruct((q_pad, T_pad * LANE_TILE),
+                                       jnp.int32),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 2**20),
         interpret=interpret,
     )(tsel, codes_tiled)
-    return out[:Q]
+    return out[:Q, :T * LANE_TILE]
 
 
 def fold_topk_tiled(codes_tiled, tables, true_n: int, rescore: int,

@@ -36,8 +36,9 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import NamedSharding, PartitionSpec as P
 
-from ..models.ivf import (IVF, _bucket_scan_round, _escalate_stream_floors,
-                          _qc_caps, _query_params, _stream_adaptive_params)
+from ..models.ivf import (IVF, _bucket_scan_round, _qc_caps,
+                          _query_params, _refresh_stream_floors,
+                          _stream_adaptive_params)
 from ..models.fast_pq import _resolve_method
 from ..ops.topk import dedup_candidates
 from .mesh import make_mesh, replicate, shard_on_axis0
@@ -360,7 +361,10 @@ def _sharded_stream_method(self, batches, k, n_probes=1, pass_1=None,
     # one transfer for both: the drop check is free per clean call
     out, dropped = jax.device_get((out, dropped))
     if adaptive and int(dropped):
-        _escalate_stream_floors(self, key, qc, qc0, q_local)
+        # peak re-measured globally (selection is replicated), the
+        # same upper bound the pre-pass uses for every shard
+        _refresh_stream_floors(self, key, jnp.asarray(batches),
+                               n_probes)
     from ..models.ivf import _map_labels
     out = _map_labels(self.labels, out)
     if with_stats:
@@ -480,11 +484,14 @@ def _shard_local_query(q, tables, centers, codes_l, ids_l, toff_l,
         q = q / jnp.maximum(jnp.linalg.norm(q, axis=1, keepdims=True), 1e-12)
 
     # ---- global probe selection (replicated compute, no comm)
-    qn = jnp.einsum("qd,qd->q", q, q)
-    cn = jnp.einsum("cd,cd->c", centers, centers)
+    qn = jnp.einsum("qd,qd->q", q, q,
+                    precision=jax.lax.Precision.HIGHEST)
+    cn = jnp.einsum("cd,cd->c", centers, centers,
+                    precision=jax.lax.Precision.HIGHEST)
     d2c = qn[:, None] + cn[None, :] - 2.0 * jax.lax.dot_general(
         q, centers, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32)
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST)
     _, probe_sel = jax.lax.top_k(-d2c, P_)           # (Q, P) global ids
 
     # ---- map to local cluster index; non-local pairs -> sentinel Cl
@@ -568,7 +575,8 @@ def _shard_local_query(q, tables, centers, codes_l, ids_l, toff_l,
     # ---- local exact rescore from the shard's flat vector array
     gathered = vecs_l[jnp.clip(cand_p, 0, vecs_l.shape[0] - 1)]
     diff = gathered - q[:, None, :]
-    d2 = jnp.einsum("qrd,qrd->qr", diff, diff)
+    d2 = jnp.einsum("qrd,qrd->qr", diff, diff,
+                     precision=jax.lax.Precision.HIGHEST)
     d2 = jnp.where(valid_sel if cand is None else (cand >= 0),
                    d2, jnp.inf)
     if f > 1:

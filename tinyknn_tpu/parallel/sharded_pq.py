@@ -102,7 +102,8 @@ def _sharded_search(q, codes, vectors, center_blocks, R, *, mesh, axis,
         _, cand = pass1_topk(-est.astype(jnp.float32), rescore, method)
         gathered = vecs_l[cand]                        # (Q, rescore, d)
         diff = gathered - q[:, None, :]
-        d2 = jnp.einsum("qrd,qrd->qr", diff, diff)
+        d2 = jnp.einsum("qrd,qrd->qr", diff, diff,
+                     precision=jax.lax.Precision.HIGHEST)
         d2 = jnp.where((base + cand) < true_n, d2, jnp.inf)
         _, best = jax.lax.top_k(-d2, k)
         loc_ids = base + jnp.take_along_axis(cand, best, axis=1)

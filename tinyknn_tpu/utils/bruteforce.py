@@ -23,15 +23,23 @@ def sq_dists(X, Y):
 
     Computed as ||x||^2 + ||y||^2 - 2<x, y> with the inner-product term
     on the MXU in float32.
+
+    precision=HIGHEST everywhere: this is the library's ground-truth
+    oracle. TPU matmuls at DEFAULT precision truncate f32 inputs to
+    bf16 — measured to swap ~2% of top-10 ids on GloVe-scale clustered
+    near-ties (round-5 `examples/r5_ceiling_analysis.py`: the "0.981
+    coverage ceiling" was this artifact; true coverage is 0.9995).
     """
     X = jnp.asarray(X, jnp.float32)
     Y = jnp.asarray(Y, jnp.float32)
-    nx = jnp.einsum("ij,ij->i", X, X)
-    ny = jnp.einsum("ij,ij->i", Y, Y)
+    hi = jax.lax.Precision.HIGHEST
+    nx = jnp.einsum("ij,ij->i", X, X, precision=hi)
+    ny = jnp.einsum("ij,ij->i", Y, Y, precision=hi)
     inner = jax.lax.dot_general(
         X, Y,
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
+        precision=hi,
     )
     return nx[:, None] + ny[None, :] - 2.0 * inner
 
@@ -104,13 +112,15 @@ def _knn_brute_jit(X, Y, k: int, metric: str, chunk: int):
     # reference's cache-friendly chunking, tinyknn/utils.py:81-85).
     n_pad = n + (-n) % chunk
     Xp = jnp.pad(X, ((0, n_pad - n), (0, 0))).reshape(-1, chunk, d)
-    yn = jnp.einsum("ij,ij->i", Y, Y)
+    yn = jnp.einsum("ij,ij->i", Y, Y,
+                precision=jax.lax.Precision.HIGHEST)
 
     def body(Xi):
-        xn = jnp.einsum("ij,ij->i", Xi, Xi)
+        hi = jax.lax.Precision.HIGHEST
+        xn = jnp.einsum("ij,ij->i", Xi, Xi, precision=hi)
         d2 = xn[:, None] + yn[None, :] - 2.0 * jax.lax.dot_general(
             Xi, Y, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)
+            preferred_element_type=jnp.float32, precision=hi)
         _, idx = jax.lax.top_k(-d2, k)
         return idx
 
@@ -139,5 +149,6 @@ def knn_brute1(x, Y, k: int):
     x = jnp.asarray(x, jnp.float32)
     Y = jnp.asarray(Y, jnp.float32)
     diff = Y - x
-    dists = jnp.einsum("ij,ij->i", diff, diff)
+    dists = jnp.einsum("ij,ij->i", diff, diff,
+                       precision=jax.lax.Precision.HIGHEST)
     return bottom_k(dists, k)
