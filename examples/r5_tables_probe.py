@@ -18,6 +18,8 @@ import jax
 import jax.numpy as jnp
 
 from tinyknn_tpu import FastPQ, utils
+from tinyknn_tpu.models.fast_pq import _build_tables
+from tinyknn_tpu.ops.scan import estimate_scan
 
 utils.enable_compilation_cache()
 
@@ -50,15 +52,22 @@ def marginal(make_fn, R1=20, R2=60):
     return (e2 - e1) / (R2 - R1) * 1000
 
 
+codes = data.packed
+cb, backend = pq.center_blocks, pq.backend
+
+
 def tables_only(jq):
     def body(q):
-        return pq.distance_table(q).tables.astype(jnp.int32).sum()
+        qt = _build_tables(q, cb, None, 2, True)
+        return qt.tables.astype(jnp.int32)[0, 0, 0] + qt.tables[-1, -1, -1]
     return jax.lax.map(body, jq).sum()
 
 
-def full(jq):
+def full(jq):  # bench.py fastpq_fullscan body, verbatim semantics
     def body(q):
-        return pq.distance_table(q).estimate_distances(data).sum()
+        qt = _build_tables(q, cb, None, 2, True)
+        est = estimate_scan(codes, qt.tables, backend, packed=True)
+        return est[0, 0] + est[n - 1, n - 1] * 0 + est[Q - 1, n - 1]
     return jax.lax.map(body, jq).sum()
 
 
