@@ -593,9 +593,12 @@ def run_workload():
         and res.get("gate_fold_int8_mismatches", 0) == 0
         and res.get("gate_fold_bf16_mismatches", 0) == 0
         and res.get("gate_exact_mismatches", 0) == 0
-        and res.get("gate_exact_recall", 1.0) >= 0.97
+        # with HIGHEST-precision truth (round 5) the full-coverage
+        # exact gate measures 1.0000; 0.99 leaves near-tie slack only
+        and res.get("gate_exact_recall", 1.0) >= 0.99
         and res.get("glove_pq_recall", 1.0) >= 0.374
         and res.get("glove_ns_recall", 1.0) >= 0.374
+        and res.get("glove_exact_recall", 1.0) >= 0.95
         and res.get("glove_frontier_recall", 1.0) >= 0.97
         and res.get("euclid_recall", 1.0) >= 0.78
     )
