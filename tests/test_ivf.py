@@ -609,3 +609,40 @@ def test_query_stream_exact_guard():
     ivf.scan_impl = "exact"  # bypass set_scan_impl on purpose
     with pytest.raises(AssertionError, match="scan_impl='exact'"):
         ivf.query_stream(np.zeros((1, 4, 8), np.float32), k=3)
+
+
+def test_scan_budget_bytes_knob():
+    """scan_budget_bytes bounds the can't-drop capacity caps: a tiny
+    budget clamps the adaptive stream's floors below a skewed stream's
+    measured peak (drops surface in stats), and the default budget
+    scans the same stream drop-free. The knob round-trips persistence."""
+    np.random.seed(51)
+    n, d, Q = 3000, 16, 64
+    X = np.random.randn(n, d).astype(np.float32)
+    qs = (X[13] + 0.02 * np.random.randn(1, Q, d)).astype(np.float32)
+
+    tiny = IVF("euclidean", 24, FastPQ(2, rotate_dim=None),
+               scan_budget_bytes=24 * 16 * 4 * 128)
+    tiny.fit(X).build(X, n_probes=2)
+    _, st = tiny.query_stream(qs, k=8, n_probes=3, with_stats=True)
+    assert st["dropped_probe_pairs"] > 0, st
+
+    # same index state, default budget: drop-free
+    import copy
+    free = copy.copy(tiny)
+    free.scan_budget_bytes = 2 << 30
+    free._stream_qc_floors = {}
+    _, st2 = free.query_stream(qs, k=8, n_probes=3, with_stats=True)
+    assert st2["dropped_probe_pairs"] == 0, st2
+
+
+def test_scan_budget_bytes_persists(tmp_path):
+    from tinyknn_tpu.io import save_ivf, load_ivf
+    np.random.seed(52)
+    X = np.random.randn(400, 12).astype(np.float32)
+    ivf = IVF("euclidean", 8, FastPQ(2, rotate_dim=None),
+              scan_budget_bytes=123456)
+    ivf.fit(X).build(X, n_probes=1)
+    path = tmp_path / "b.npz"
+    save_ivf(path, ivf)
+    assert load_ivf(path).scan_budget_bytes == 123456

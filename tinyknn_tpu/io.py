@@ -143,6 +143,8 @@ def save_ivf(path, ivf: IVF, compress: bool = False):
             "build_probes": getattr(ivf, "build_probes", 2),
             "fold_mult": getattr(ivf, "fold_mult", 8),
             "rescore_rows": bool(getattr(ivf, "rescore_rows", False)),
+            "scan_budget_bytes": int(getattr(ivf, "scan_budget_bytes",
+                                             2 << 30)),
         }).encode(), dtype=np.uint8),
         all_centers=np.asarray(ivf.all_centers),
         active_centers=active_centers,
@@ -199,6 +201,7 @@ def load_ivf(path, skip_derived: bool = False) -> IVF:
         ivf.scan_impl = meta.get("scan_impl", "auto")
         ivf.fold_mult = meta.get("fold_mult", 8)
         ivf.rescore_rows = meta.get("rescore_rows", False)
+        ivf.scan_budget_bytes = meta.get("scan_budget_bytes", 2 << 30)
         ivf.build_probes = meta.get("build_probes")
         ivf.pq = pq
         ivf.labels = (np.asarray(data["labels"])

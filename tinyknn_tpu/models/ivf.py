@@ -91,7 +91,8 @@ class IVF:
     def __init__(self, metric, n_clusters, pq=None, seed=0,
                  kmeans_iters=30, queries_per_cluster=None,
                  pass1_method="auto", scan_impl="auto",
-                 fold_mult=FOLD_MULT, rescore_rows=False):
+                 fold_mult=FOLD_MULT, rescore_rows=False,
+                 scan_budget_bytes=2 << 30):
         """``scan_impl``: 'auto' (fused Pallas PQ scan on TPU when it
         fits, else 'xla'), 'fused', 'xla', or 'exact' — a TPU-native
         mode beyond the reference: raw bf16 vectors ride the CSR tiles
@@ -105,7 +106,16 @@ class IVF:
         at build (+1 data copy of HBM) so the rescore gathers by flat
         row directly and ids decode only for the final winners —
         removes one of the two multi-million-element gathers that
-        dominate the PQ-path query (docs/PERFORMANCE.md round 3)."""
+        dominate the PQ-path query (docs/PERFORMANCE.md round 3).
+
+        ``scan_budget_bytes``: ceiling for the (C, qc, S) bucket-scan
+        grids that bucket capacities (adaptive stream floors and the
+        query drop-retry caps) may grow into. On extremely skewed
+        streams (peak per-cluster load 30x+ the mean) the default 2 GB
+        clamps the capacity below the measured peak and the residual
+        drops surface in ``with_stats``; raise it to trade HBM and
+        scan time for drop-free streams (or pin queries_per_cluster).
+        """
         assert metric in ["euclidean", "angular"]
         self.metric = metric
         self.pq = FastPQ(dims_per_block=2) if pq is None else pq
@@ -117,6 +127,7 @@ class IVF:
         self.pass1_method = pass1_method
         self.scan_impl = scan_impl
         self.fold_mult = fold_mult
+        self.scan_budget_bytes = int(scan_budget_bytes)
         self.list_counts = None  # (C,) int32 true list lengths
         self.all_centers = None
         self.active_centers = None
@@ -621,7 +632,7 @@ def _qc_caps(self, Q, n_probes, r, r_tail, qc, qc0, fold_mult,
         n_active = self.active_centers.shape[0]
     s0_w = _fold_tiles(r, self.max_tiles, fold_mult) * LANE_TILE
     st_w = _fold_tiles(r_tail, self.max_tiles, fold_mult) * LANE_TILE
-    budget = 2 << 30
+    budget = getattr(self, "scan_budget_bytes", 2 << 30)
     qc_cap = max(qc, budget // max(1, 4 * n_active * st_w))
     qc0_cap = max(qc0, budget // max(1, 4 * n_active * s0_w))
     qc_full = min(round_up(Q * n_probes, 8), round_up(qc_cap, 8))
@@ -670,7 +681,7 @@ def _stream_adaptive_params(self, batches, k_arg, p_arg, p1_arg, params,
         # exact mode the fold widths adapt to the new capacity
         if n_active is None:
             n_active = self.active_centers.shape[0]
-        budget = 2 << 30
+        budget = getattr(self, "scan_budget_bytes", 2 << 30)
         s0_w = _fold_tiles(r, self.max_tiles, fold_mult) * LANE_TILE
         st_w = _fold_tiles(r_tail, self.max_tiles,
                            fold_mult) * LANE_TILE
