@@ -659,8 +659,10 @@ def run_workload():
                 "glove_frontier_qps", "glove_frontier_recall",
                 "euclid_qps", "euclid_recall", "search_qps",
                 "search_recall1_at_10", "rank_median", "rank_q90",
+                "gate_knn_brute_f64_agree",
                 "glove_build_s", "t_fastpq_s",
-                "t_hw_gate_production_kernels_s", "t_glove_scale_ivf_s"):
+                "t_hw_gate_production_kernels_s", "t_glove_scale_ivf_s",
+                "t_euclid_scale_ivf_s"):
         if key in res:
             out[key] = res[key]
     if notes:

@@ -646,3 +646,46 @@ def test_scan_budget_bytes_persists(tmp_path):
     path = tmp_path / "b.npz"
     save_ivf(path, ivf)
     assert load_ivf(path).scan_budget_bytes == 123456
+
+
+def test_stream_refresh_converges_under_budget_clamp():
+    """A budget-clamped stream pays the pre-pass re-measure at most
+    once per (shape, budget): once the refresh confirms the cached
+    floor already covers the true peak, further dropping calls skip
+    the extra dispatch (advisor r5 — the re-measure must not become a
+    permanent per-call tax)."""
+    np.random.seed(53)
+    n, d, Q = 3000, 16, 64
+    X = np.random.randn(n, d).astype(np.float32)
+    qs = (X[13] + 0.02 * np.random.randn(1, Q, d)).astype(np.float32)
+    ivf = IVF("euclidean", 24, FastPQ(2, rotate_dim=None),
+              scan_budget_bytes=24 * 16 * 4 * 128)
+    ivf.fit(X).build(X, n_probes=2)
+
+    from tinyknn_tpu.models import ivf as ivf_mod
+    calls = {"n": 0}
+    real = ivf_mod._stream_peak_loads
+
+    def counting(*a, **kw):
+        calls["n"] += 1
+        return real(*a, **kw)
+
+    ivf_mod._stream_peak_loads = counting
+    try:
+        _, st1 = ivf.query_stream(qs, k=8, n_probes=3, with_stats=True)
+        assert st1["dropped_probe_pairs"] > 0, st1
+        n_after_first = calls["n"]  # pre-pass + one refresh
+        _, st2 = ivf.query_stream(qs, k=8, n_probes=3, with_stats=True)
+        assert st2["dropped_probe_pairs"] > 0, st2
+        assert calls["n"] == n_after_first  # no further pre-pass calls
+        # the reported floors are the APPLIED (clamped) capacities
+        assert st2["adaptive_qc_floors"][1] <= \
+            st2["queries_per_cluster_cap"]
+        # raising the budget invalidates the converged marker: the
+        # same stream re-adapts and scans drop-free
+        ivf.scan_budget_bytes = 2 << 30
+        ivf._stream_qc_floors = {}
+        _, st3 = ivf.query_stream(qs, k=8, n_probes=3, with_stats=True)
+        assert st3["dropped_probe_pairs"] == 0, st3
+    finally:
+        ivf_mod._stream_peak_loads = real

@@ -676,22 +676,22 @@ def _stream_adaptive_params(self, batches, k_arg, p_arg, p1_arg, params,
         cache[key] = (_qc_bucket(int(m0)), _qc_bucket(int(mt)))
     floors = cache[key]
     if floors[0] > qc0 or floors[1] > qc:
-        # clamp the floors by the ~2 GB scan-grid budget (the same
-        # bound query()'s can't-drop retry uses), then re-derive: in
-        # exact mode the fold widths adapt to the new capacity
-        if n_active is None:
-            n_active = self.active_centers.shape[0]
-        budget = getattr(self, "scan_budget_bytes", 2 << 30)
-        s0_w = _fold_tiles(r, self.max_tiles, fold_mult) * LANE_TILE
-        st_w = _fold_tiles(r_tail, self.max_tiles,
-                           fold_mult) * LANE_TILE
-        f0 = min(floors[0], round_up(q_clamp, 8), round_up(
-            max(qc0, budget // max(1, 4 * n_active * s0_w)), 8))
-        ft = min(floors[1], round_up(q_clamp, 8), round_up(
-            max(qc, budget // max(1, 4 * n_active * st_w)), 8))
+        # clamp the floors by the scan-grid budget (the same bound
+        # query()'s can't-drop retry uses, via _qc_caps — one source
+        # of truth), then re-derive: in exact mode the fold widths
+        # adapt to the new capacity
+        qc_full, qc0_full = _qc_caps(self, q_clamp, 1, r, r_tail, qc,
+                                     qc0, fold_mult, n_active=n_active)
+        f0 = min(floors[0], qc0_full)
+        ft = min(floors[1], qc_full)
         params = _query_params(self, Q, k_arg, p_arg, p1_arg,
                                qc_min=ft, qc0_min=f0, n_active=n_active,
                                n_probes_max=n_probes_max)
+        # report the APPLIED floors: when the budget clamp bites, the
+        # raw measured floors would claim the peak was covered while
+        # the scan runs at the clamped capacity (auditability of
+        # scan_budget_bytes — advisor r5)
+        floors = (f0, ft)
     return params, floors, key
 
 
@@ -713,11 +713,24 @@ def _refresh_stream_floors(self, key, batches, n_probes):
       and forced a RECOMPILE PER CALL: the round-5 euclid-at-scale
       P=3/4 '3k QPS' collapse, examples/r5_euclid_stream_diag.py.)
     """
+    final = getattr(self, "_stream_floor_final", None)
+    if final is None:
+        final = self._stream_floor_final = set()
+    # budget-keyed: raising scan_budget_bytes can unclamp a floor, so
+    # the converged marker must not survive a budget change
+    fkey = (key, getattr(self, "scan_budget_bytes", 2 << 30))
+    if fkey in final:
+        return  # budget-clamped steady state: re-measuring can't help
     m0, mt = jax.device_get(_stream_peak_loads(
         batches, self.active_centers, n_probes=n_probes,
         metric=self.metric))
-    self._stream_qc_floors[key] = (_qc_bucket(int(m0)),
-                                   _qc_bucket(int(mt)))
+    floors = (_qc_bucket(int(m0)), _qc_bucket(int(mt)))
+    if floors == self._stream_qc_floors.get(key):
+        # the cached floor already covers the true peak but the budget
+        # clamp keeps capacity below it — drops are the budget's price;
+        # stop paying a pre-pass dispatch on every future call
+        final.add(fkey)
+    self._stream_qc_floors[key] = floors
 
 
 def _qc_bucket(n: int) -> int:
