@@ -104,16 +104,25 @@ lists = [csr_ids[tile_off[c] * 128: tile_off[c] * 128 + counts[c]]
          for c in range(len(counts))]
 
 for P in args.probes:
-    found = total_pts = 0
+    found = member = total_pts = 0
     for i in range(nq):
-        ids = np.concatenate([lists[c] for c in order[i, :P]])
+        # unique: a build_probes>=2 archive spills each point into
+        # several lists; duplicates would crowd the argpartition top-k
+        ids = np.unique(np.concatenate(
+            [lists[c] for c in order[i, :P]]))
         total_pts += len(ids)
+        member += len(true_sets[i].intersection(ids.tolist()))
         if metric == "angular":
             d = -(data[ids] @ queries[i])
         else:
             d = ((data[ids] - queries[i]) ** 2).sum(1)
         top = ids[np.argpartition(d, min(k - 1, len(ids) - 1))[:k]]
         found += len(true_sets[i].intersection(top.tolist()))
-    print(f"P={P:>2}: coverage-ceiling recall{k}@{k} = "
-          f"{found / (k * nq):.4f}  "
+    # membership is the PURE coverage bound (set-based, immune to
+    # distance rounding); the brute-recall line matches it now that
+    # the stored truth is f64 (round 5 — before that, bf16 matmul
+    # noise in the truth capped this line at 0.981 and the gap was
+    # misread as coverage; see examples/r5_ceiling_analysis.py)
+    print(f"P={P:>2}: membership={member / (k * nq):.4f}  "
+          f"union-brute recall{k}@{k} = {found / (k * nq):.4f}  "
           f"(avg {total_pts / nq:,.0f} candidates/query)", flush=True)
