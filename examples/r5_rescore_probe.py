@@ -11,12 +11,19 @@ one extra HBM copy of the corpus. It is implemented and CPU-tested
 but was never measured on hardware (VERDICT r4 weak #5); this probe
 decides its default.
 
-Measures sustained QPS (query_stream, best-of-3 over R-rep dispatch)
-and recall at P in {1, 4, 10} with the sweep harness's default pool
-(pass_1 = 4*((P+1)k+1)), rescore_rows off vs on, on the cached bp=1
-GloVe-scale archive.
+Measures sustained QPS (query_stream, best-of-3 MARGINAL between two
+rep counts — the ~28.5 ms relay constant rides both dispatches and
+cancels) and recall at P in {1, 4, 10} with the sweep harness's
+default pool (pass_1 = 4*((P+1)k+1)), rescore_rows off vs on, on the
+cached bp=1 GloVe-scale archive. ``--scan-impl exact`` runs the same
+A/B on the exact engine (engine-default sliver pass_1 = 4kP) — its
+select+decode stage is decode-GATHER-bound (examples/r5_select_probe:
+approx_max_k at (10k, 2304, p1=40) is ~free; the 7.5 ms stage cost is
+the (Q, p1) csr_ids survivor gather), exactly what rescore_rows
+removes.
 
-Usage: python examples/r5_rescore_probe.py [--reps 5] [--probes 1 4 10]
+Usage: python examples/r5_rescore_probe.py [--reps 2 7]
+       [--probes 1 4 10] [--scan-impl exact]
 """
 
 import argparse
@@ -35,8 +42,10 @@ from tinyknn_tpu.io import load_ivf                # noqa: E402
 parser = argparse.ArgumentParser()
 parser.add_argument("--probes", type=int, nargs="+", default=[1, 4, 10])
 parser.add_argument("--k", type=int, default=10)
-parser.add_argument("--reps", type=int, default=5)
+parser.add_argument("--reps", type=int, nargs=2, default=[2, 7])
 parser.add_argument("--mult", type=float, default=4.0)
+parser.add_argument("--scan-impl", default=None,
+                    choices=["auto", "fused", "xla", "exact"])
 parser.add_argument("--index", default="ivf_clustered-1183514-100_"
                     "angular_num_clusters=1087_dims_per_block=2_"
                     "build_probes=1.npz")
@@ -64,29 +73,38 @@ if os.path.isfile(args.trus):
     trus = np.load(args.trus)
     true_sets = [set(t.tolist()) for t in trus]
 
-k, R = args.k, args.reps
-jitter = np.arange(R, dtype=np.float32)[:, None, None] * 1e-6
-qb = queries[None] + jitter
+if args.scan_impl:
+    ivf.set_scan_impl(args.scan_impl)
+
+k = args.k
+R1, R2 = args.reps
+qbs = {r: queries[None] + np.arange(r, dtype=np.float32)[
+    :, None, None] * 1e-6 for r in (R1, R2)}
 
 for enabled in (False, True):
     ivf.set_rescore_rows(enabled)
     tag = "rescore_rows=on " if enabled else "rescore_rows=off"
     for P in args.probes:
-        p1 = int(args.mult * ((P + 1) * k + 1))
-        out = np.asarray(ivf.query_stream(qb, k=k, n_probes=P,
-                                          pass_1=p1))  # warm/compile
-        el = float("inf")
-        for _ in range(3):
-            t0 = time.time()
-            out = np.asarray(ivf.query_stream(qb, k=k, n_probes=P,
-                                              pass_1=p1))
-            el = min(el, time.time() - t0)
-        qps = R * nq / el
+        if args.scan_impl == "exact":
+            p1 = None          # engine default sliver (4kP)
+        else:
+            p1 = int(args.mult * ((P + 1) * k + 1))
+        el = {}
+        for r in (R1, R2):
+            out = np.asarray(ivf.query_stream(
+                qbs[r], k=k, n_probes=P, pass_1=p1))  # warm/compile
+            el[r] = float("inf")
+            for _ in range(3):
+                t0 = time.time()
+                out = np.asarray(ivf.query_stream(
+                    qbs[r], k=k, n_probes=P, pass_1=p1))
+                el[r] = min(el[r], time.time() - t0)
+        qps = (R2 - R1) * nq / max(el[R2] - el[R1], 1e-9)
         rec = ""
         if true_sets is not None:
             g = out[0]
             found = sum(len(true_sets[i] & set(row.tolist()))
                         for i, row in enumerate(g))
             rec = f"  recall{k}@{k}={found / k / nq:.4f}"
-        print(f"{tag} P={P:>2} pass_1={p1:>4}: "
-              f"sustained QPS={qps:,.0f}{rec}", flush=True)
+        print(f"{tag} P={P:>2} pass_1={p1 or 4 * k * P:>4}: "
+              f"marginal QPS={qps:,.0f}{rec}", flush=True)
