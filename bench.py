@@ -495,6 +495,20 @@ def glove_scale_ivf(res):
     res["glove_exact_qps"] = round(qps_ex, 1)
     res["glove_exact_recall"] = round(rec_ex, 4)
 
+    # (b2) same point with rescore_rows (deferred-id decode): the
+    # dominant exact-P=1 stage is the (Q, p1) csr_ids survivor decode
+    # gather (docs/PERFORMANCE.md round-5 stage table — the sort is
+    # ~free at p1=40); rescore_rows removes it for a CSR-ordered raw
+    # copy (~508 MB at this scale). Measured every driver run so the
+    # artifact carries the A/B both ways.
+    ivf.set_rescore_rows(True)
+    qps_rr, rec_rr = sustained(ivf, n_probes=1)
+    ivf.set_rescore_rows(False)
+    log(f"GloVe exact path P=1 + rescore_rows: recall10@10="
+        f"{rec_rr:.4f} QPS={qps_rr:,.0f}")
+    res["glove_exact_rr_qps"] = round(qps_rr, 1)
+    res["glove_exact_rr_recall"] = round(rec_rr, 4)
+
     # (c) build_probes=2 frontier: each point spills into its TWO
     # nearest lists (reference ivf.py:85), so ONE probe covers 99.95%
     # of true neighbors (examples/r5_ceiling_analysis.py) and the
@@ -596,6 +610,12 @@ def euclid_scale_ivf(res):
 
 def run_workload():
     import jax
+    if SMOKE:
+        # smoke validates CODE PATHS, not timings — run on host CPU so
+        # it works during relay outages (env var alone is overridden
+        # by the axon sitecustomize; the config update must land
+        # before first device use)
+        jax.config.update("jax_platforms", "cpu")
     import tinyknn_tpu as tk
     tk.utils.enable_compilation_cache()
     log(f"backend: {jax.default_backend()}, devices: {jax.devices()}")
@@ -639,6 +659,7 @@ def run_workload():
         and res.get("glove_pq_recall", 1.0) >= 0.374
         and res.get("glove_ns_recall", 1.0) >= 0.374
         and res.get("glove_exact_recall", 1.0) >= 0.95
+        and res.get("glove_exact_rr_recall", 1.0) >= 0.95
         and res.get("glove_frontier_recall", 1.0) >= 0.97
         and res.get("euclid_recall", 1.0) >= 0.78
     )
@@ -656,6 +677,7 @@ def run_workload():
                 "glove_ns_pass1",
                 "glove_vs_cython_at_0374", "glove_exact_qps",
                 "glove_exact_recall",
+                "glove_exact_rr_qps", "glove_exact_rr_recall",
                 "glove_frontier_qps", "glove_frontier_recall",
                 "euclid_qps", "euclid_recall", "search_qps",
                 "search_recall1_at_10", "rank_median", "rank_q90",

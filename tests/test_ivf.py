@@ -576,7 +576,8 @@ def test_rescore_rows_matches_default(tmp_path):
     np.random.seed(48)
     X = np.random.randn(900, 12).astype(np.float32)
     qs = np.random.randn(32, 12).astype(np.float32)
-    for metric, impl in [("euclidean", "fused"), ("angular", "fused")]:
+    for metric, impl in [("euclidean", "fused"), ("angular", "fused"),
+                         ("angular", "exact"), ("euclidean", "exact")]:
         a_ivf = IVF(metric, 12, FastPQ(2, seed=5, rotate_dim=None),
                     seed=2, scan_impl=impl)
         a_ivf.fit(X).build(X, n_probes=2)
