@@ -298,6 +298,23 @@ def test_query_stream_matches_query():
         np.testing.assert_array_equal(stream[i], single)
 
 
+def test_query_stream_device_out():
+    """device_out=True (the pipelined-serving form) returns DEVICE
+    arrays with the same positional ids as the host path."""
+    import jax
+    np.random.seed(22)
+    X = np.random.randn(600, 16).astype(np.float32)
+    qs = np.random.randn(2, 40, 16).astype(np.float32)
+    ivf = IVF("euclidean", 12, FastPQ(2, rotate_dim=None))
+    ivf.fit(X).build(X, n_probes=2)
+    host = np.asarray(ivf.query_stream(qs, k=8, n_probes=4))
+    out, dropped = ivf.query_stream(qs, k=8, n_probes=4,
+                                    device_out=True)
+    assert isinstance(out, jax.Array) and isinstance(dropped, jax.Array)
+    np.testing.assert_array_equal(np.asarray(out), host)
+    assert int(dropped) == 0
+
+
 def test_query_stream_adaptive_qc():
     """A skewed stream self-tunes its bucket capacities: the first call
     at a shape measures the per-cluster load (pre-pass) and scans

@@ -201,6 +201,24 @@ def test_sharded_query_stream_matches_query(mesh):
         np.testing.assert_array_equal(stream[i], single)
 
 
+def test_sharded_query_stream_device_out(mesh):
+    """device_out=True (pipelined serving over the mesh) returns
+    DEVICE arrays with the same positional ids as the host path."""
+    import jax
+    rng = np.random.default_rng(4)
+    X = rng.standard_normal((512, 16)).astype(np.float32)
+    qs = rng.standard_normal((2, 48, 16)).astype(np.float32)
+    sivf = ShardedIVF("euclidean", 14, FastPQ(2, rotate_dim=None),
+                      mesh=mesh, queries_per_cluster=64)
+    sivf.fit(X).build(X, n_probes=2)
+    host = np.asarray(sivf.query_stream(qs, k=6, n_probes=4))
+    out, dropped = sivf.query_stream(qs, k=6, n_probes=4,
+                                     device_out=True)
+    assert isinstance(out, jax.Array) and isinstance(dropped, jax.Array)
+    np.testing.assert_array_equal(np.asarray(out), host)
+    assert int(dropped) == 0
+
+
 def test_sharded_exact_mode(mesh):
     """Cluster-sharded exact mode: true kNN at full probe coverage,
     stream agrees with query, and it matches the single-chip exact

@@ -783,12 +783,21 @@ class _StreamMixin:
     of round-trip latency; a stream pays it once)."""
 
     def query_stream(self, batches, k, n_probes=1, pass_1=None,
-                     with_stats=False, adaptive_qc=True):
+                     with_stats=False, adaptive_qc=True,
+                     device_out=False):
         """Top-k ids for a (R, Q, d) stream of query batches.
 
         Runs all R batches inside ONE jitted computation (lax.map), so
         per-call dispatch/readback latency is amortized across the
         stream; returns (R, Q, k) int32.
+
+        ``device_out=True`` returns ``(out, dropped)`` as DEVICE arrays
+        (positional int32 ids — no label mapping, no host transfer):
+        the pipelined-serving form, where results feed the next
+        on-device stage and the host never pays the (R, Q, k)
+        download. The adaptive drop-refresh check is skipped (it needs
+        the drop counter on the host) — materialize ``dropped`` and
+        consult ``with_stats`` on a host-path call to audit drops.
 
         Unlike ``query`` there is no drop-RETRY escalation (a retry
         would have to re-run the whole stream). Instead, with
@@ -850,6 +859,8 @@ class _StreamMixin:
             max_tiles=self.max_tiles,
             build_probes=getattr(self, "build_probes", 2),
             table_dtype=self.pq.table_dtype, fold_mult=fold_mult)
+        if device_out:
+            return out, dropped
         # one transfer for both (the caller consumes out on the host
         # anyway): the drop check is free per clean call, like query()'s
         out, dropped = jax.device_get((out, dropped))

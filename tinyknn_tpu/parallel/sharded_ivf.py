@@ -291,10 +291,15 @@ class ShardedIVF(IVF):
 
 
 def _sharded_stream_method(self, batches, k, n_probes=1, pass_1=None,
-                           with_stats=False, adaptive_qc=True):
+                           with_stats=False, adaptive_qc=True,
+                           device_out=False):
     """(R, Q, d) stream of batches in ONE dispatch over the mesh —
     the multi-chip serving shape (see IVF.query_stream). Tables are
     built per batch on each device's local query slice.
+
+    ``device_out=True``: return ``(out, dropped)`` as device arrays
+    (positional ids, no label mapping, no host transfer, no adaptive
+    drop-refresh) — see IVF.query_stream.
 
     Like the single-chip stream there is no drop-RETRY (a retry would
     re-run the whole stream); instead ``adaptive_qc=True`` (default)
@@ -358,6 +363,8 @@ def _sharded_stream_method(self, batches, k, n_probes=1, pass_1=None,
         build_probes=getattr(self, "build_probes", 2),
         dpb=self.pq.dims_per_block,
         table_dtype=self.pq.table_dtype, fold_mult=fold_mult)
+    if device_out:
+        return out, dropped
     # one transfer for both: the drop check is free per clean call
     out, dropped = jax.device_get((out, dropped))
     if adaptive and int(dropped):
