@@ -22,8 +22,17 @@ approx_max_k at (10k, 2304, p1=40) is ~free; the 7.5 ms stage cost is
 the (Q, p1) csr_ids survivor gather), exactly what rescore_rows
 removes.
 
+``--device-out`` times the pipelined form instead
+(query_stream(device_out=True) + scalar checksum readback): no
+(R, Q, k) id download through the ~35 MB/s tunnel, so the gather
+deltas aren't drowned by transfer noise — this is the measurement
+that decided the exact-engine verdict (parsed6: 518k -> 601k).
+``--table-dtype bf16 --pass1 17`` probes the north-star operating
+point.
+
 Usage: python examples/r5_rescore_probe.py [--reps 2 7]
-       [--probes 1 4 10] [--scan-impl exact]
+       [--probes 1 4 10] [--scan-impl exact] [--device-out]
+       [--table-dtype bf16] [--pass1 17]
 """
 
 import argparse
@@ -46,6 +55,16 @@ parser.add_argument("--reps", type=int, nargs=2, default=[2, 7])
 parser.add_argument("--mult", type=float, default=4.0)
 parser.add_argument("--scan-impl", default=None,
                     choices=["auto", "fused", "xla", "exact"])
+parser.add_argument("--device-out", action="store_true",
+                    help="time device-consumed (no id download)")
+parser.add_argument("--table-dtype", default=None,
+                    choices=["int8", "bf16", "f32"])
+parser.add_argument("--pass1", type=int, default=None,
+                    help="fixed pass_1 overriding the mult formula")
+parser.add_argument("--ab-cycles", type=int, default=1,
+                    help="repeat the off/on cycle N times: relay-"
+                    "weather drift shows up as disagreement between "
+                    "the repeated off (or on) rows")
 parser.add_argument("--index", default="ivf_clustered-1183514-100_"
                     "angular_num_clusters=1087_dims_per_block=2_"
                     "build_probes=1.npz")
@@ -75,29 +94,48 @@ if os.path.isfile(args.trus):
 
 if args.scan_impl:
     ivf.set_scan_impl(args.scan_impl)
+if args.table_dtype:
+    ivf.pq.table_dtype = args.table_dtype
 
 k = args.k
 R1, R2 = args.reps
-qbs = {r: queries[None] + np.arange(r, dtype=np.float32)[
-    :, None, None] * 1e-6 for r in (R1, R2)}
+# pre-place on device: a numpy batch would re-upload (R, 10k, 100) f32
+# through the ~620 MB/s tunnel on every timed call, and the R2-R1
+# upload DELTA (~6 ms/rep at R=7) rides the marginal
+import jax.numpy as jnp                            # noqa: E402
+qbs = {r: jnp.asarray(queries[None] + np.arange(r, dtype=np.float32)[
+    :, None, None] * 1e-6) for r in (R1, R2)}
 
-for enabled in (False, True):
+for enabled in (False, True) * args.ab_cycles:
     ivf.set_rescore_rows(enabled)
     tag = "rescore_rows=on " if enabled else "rescore_rows=off"
     for P in args.probes:
-        if args.scan_impl == "exact":
+        if args.pass1 is not None:
+            p1 = args.pass1
+        elif args.scan_impl == "exact":
             p1 = None          # engine default sliver (4kP)
         else:
             p1 = int(args.mult * ((P + 1) * k + 1))
-        el = {}
+
+        def tick(r):
+            if args.device_out:
+                import jax.numpy as jnp
+                o, _ = ivf.query_stream(qbs[r], k=k, n_probes=P,
+                                        pass_1=p1, device_out=True)
+                int(jnp.sum(o))   # scalar readback forces completion
+                return None
+            return np.asarray(ivf.query_stream(
+                qbs[r], k=k, n_probes=P, pass_1=p1))
+
+        el, out = {}, None
         for r in (R1, R2):
             out = np.asarray(ivf.query_stream(
-                qbs[r], k=k, n_probes=P, pass_1=p1))  # warm/compile
+                qbs[r], k=k, n_probes=P, pass_1=p1))  # warm/compile+recall
+            tick(r)               # warm the device_out variant too
             el[r] = float("inf")
             for _ in range(3):
                 t0 = time.time()
-                out = np.asarray(ivf.query_stream(
-                    qbs[r], k=k, n_probes=P, pass_1=p1))
+                tick(r)
                 el[r] = min(el[r], time.time() - t0)
         qps = (R2 - R1) * nq / max(el[R2] - el[R1], 1e-9)
         rec = ""
