@@ -313,6 +313,31 @@ def test_query_stream_device_out():
     assert isinstance(out, jax.Array) and isinstance(dropped, jax.Array)
     np.testing.assert_array_equal(np.asarray(out), host)
     assert int(dropped) == 0
+    with pytest.raises(ValueError, match="device_out"):
+        ivf.query_stream(qs, k=8, n_probes=4, device_out=True,
+                         with_stats=True)
+
+
+def test_query_stream_device_out_labels_exact_rr():
+    """The device_out contract with the full serving configuration:
+    exact engine + rescore_rows + int64 user labels. The host path
+    returns LABELS; device_out returns POSITIONAL ids (the on-device
+    currency) — mapping them through ivf.labels must reproduce the
+    host output exactly."""
+    np.random.seed(23)
+    X = np.random.randn(500, 16).astype(np.float32)
+    qs = np.random.randn(2, 32, 16).astype(np.float32)
+    labels = (np.arange(500, dtype=np.int64) * 7 + 3) << 33
+    ivf = IVF("angular", 10, scan_impl="exact", rescore_rows=True)
+    ivf.fit(X).build(X, n_probes=2, labels=labels)
+    host = np.asarray(ivf.query_stream(qs, k=6, n_probes=3))
+    assert host.dtype == np.int64 and np.isin(host, labels).all()
+    out, dropped = ivf.query_stream(qs, k=6, n_probes=3,
+                                    device_out=True)
+    pos = np.asarray(out)
+    assert pos.dtype == np.int32
+    np.testing.assert_array_equal(labels[pos], host)
+    assert int(dropped) == 0
 
 
 def test_query_stream_adaptive_qc():

@@ -822,6 +822,11 @@ class _StreamMixin:
         """
         assert self.csr_codes is not None, (
             "IVF index is empty: call fit(X) and build(X) before query")
+        if device_out and with_stats:
+            raise ValueError(
+                "device_out=True returns device arrays and cannot build "
+                "the host-side stats dict; audit drops on a host-path "
+                "call (with_stats=True, device_out=False)")
         batches = jnp.asarray(batches, jnp.float32)
         R, Q, d = batches.shape
         method = _resolve_method(self.pass1_method)

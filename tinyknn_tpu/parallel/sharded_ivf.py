@@ -313,6 +313,11 @@ def _sharded_stream_method(self, batches, k, n_probes=1, pass_1=None,
     by the per-shard scan-grid budget; ``with_stats=True`` returns the
     dropped-pair total across the stream and all shards; pinning
     ``queries_per_cluster`` disables the adaptation."""
+    if device_out and with_stats:
+        raise ValueError(
+            "device_out=True returns device arrays and cannot build "
+            "the host-side stats dict; audit drops on a host-path "
+            "call (with_stats=True, device_out=False)")
     batches = np.asarray(batches, dtype=np.float32)
     _, Qb, _ = batches.shape
     cap = self.max_tiles * 128
