@@ -529,6 +529,22 @@ def glove_scale_ivf(res):
         round(best[0], 1), round(best[1], 4))
     res["glove_ns_delivered_qps"] = round(best[4], 1)
     res["glove_ns_tables"], res["glove_ns_pass1"] = best[2], best[3]
+    # the winning point once more with rescore_rows (drift-cycled A/B:
+    # +3-4% device-consumed at p1=17) — the best-known configuration;
+    # recorded separately so the selection above stays rescore_rows-off
+    ivf.pq.table_dtype = best[2]
+    ivf.set_rescore_rows(True)
+    qps_nr, del_nr, rec_nr = sustained(ivf, n_probes=1, pass_1=best[3])
+    ivf.set_rescore_rows(False)
+    ivf.pq.table_dtype = "int8"
+    log(f"GloVe north star + rescore_rows ({best[2]}, p1={best[3]}): "
+        f"recall10@10={rec_nr:.4f} QPS={qps_nr:,.0f} "
+        f"(delivered {del_nr:,.0f})")
+    res["glove_ns_rr_qps"] = round(qps_nr, 1)
+    res["glove_ns_rr_delivered_qps"] = round(del_nr, 1)
+    res["glove_ns_rr_recall"] = round(rec_nr, 4)
+    if rec_nr >= 0.374 and qps_nr > best[0]:
+        best = (qps_nr, rec_nr, best[2], best[3], del_nr)
     res["glove_vs_cython_at_0374"] = (
         round(best[0] / 4727.14, 2) if best[1] >= 0.374 else 0.0)
 
@@ -694,6 +710,7 @@ def run_workload():
         and res.get("glove_pq_recall", 1.0) >= 0.374
         and res.get("glove_pq_rr_recall", 1.0) >= 0.374
         and res.get("glove_ns_recall", 1.0) >= 0.374
+        and res.get("glove_ns_rr_recall", 1.0) >= 0.374
         and res.get("glove_exact_recall", 1.0) >= 0.95
         and res.get("glove_exact_rr_recall", 1.0) >= 0.95
         and res.get("glove_frontier_recall", 1.0) >= 0.97
@@ -713,7 +730,8 @@ def run_workload():
                 "glove_pq_rr_delivered_qps", "glove_pq_rr_recall",
                 "glove_ns_qps", "glove_ns_delivered_qps",
                 "glove_ns_recall", "glove_ns_tables",
-                "glove_ns_pass1",
+                "glove_ns_pass1", "glove_ns_rr_qps",
+                "glove_ns_rr_delivered_qps", "glove_ns_rr_recall",
                 "glove_vs_cython_at_0374", "glove_exact_qps",
                 "glove_exact_delivered_qps", "glove_exact_recall",
                 "glove_exact_rr_qps", "glove_exact_rr_delivered_qps",
