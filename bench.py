@@ -441,17 +441,11 @@ def glove_scale_ivf(res):
     n_clusters = 1087
     if SMOKE:  # same pipeline, toy scale (sqrt-scaled cluster count)
         size, nq, n_clusters = 20000, 500, 141
-    rng = np.random.default_rng(10)
-    n_comp = int((size + nq) ** 0.5)
-    centers = rng.standard_normal((n_comp, dim), dtype=np.float32)
-    which = rng.integers(0, n_comp, size + nq)
-    data = centers[which] + 0.5 * rng.standard_normal(
-        (size + nq, dim), dtype=np.float32)
-    data, queries = data[:-nq], data[-nq:]
+    data, queries = tk.utils.make_clustered(size, dim, nq)
 
     cache_dir = "/tmp/" if SMOKE else ""
-    trus_file = (f"{cache_dir}trus_clustered-{size}-{dim}_k_neighbours="
-                 f"{k}_num_queries={nq}_metric='angular'.npy")
+    trus_file = tk.utils.truth_cache_path(size, dim, k, nq, "angular",
+                                          cache_dir=cache_dir)
     if os.path.isfile(trus_file):
         trus = np.load(trus_file)
     else:
@@ -614,17 +608,11 @@ def euclid_scale_ivf(res):
     n_clusters = 1000
     if SMOKE:
         size, nq, n_clusters = 20000, 500, 141
-    rng = np.random.default_rng(10)
-    n_comp = int((size + nq) ** 0.5)
-    centers = rng.standard_normal((n_comp, dim), dtype=np.float32)
-    which = rng.integers(0, n_comp, size + nq)
-    data = centers[which] + 0.5 * rng.standard_normal(
-        (size + nq, dim), dtype=np.float32)
-    data, queries = data[:-nq], data[-nq:]
+    data, queries = tk.utils.make_clustered(size, dim, nq)
 
     cache_dir = "/tmp/" if SMOKE else ""
-    trus_file = (f"{cache_dir}trus_clustered-{size}-{dim}_k_neighbours="
-                 f"{k}_num_queries={nq}_metric='euclidean'.npy")
+    trus_file = tk.utils.truth_cache_path(size, dim, k, nq, "euclidean",
+                                          cache_dir=cache_dir)
     if os.path.isfile(trus_file):
         trus = np.load(trus_file)
     else:

@@ -21,6 +21,7 @@ import pathlib as _pl
 sys.path.insert(0, str(_pl.Path(__file__).resolve().parents[1]))
 
 from tinyknn_tpu import knn_brute  # noqa: E402
+from tinyknn_tpu.utils import make_clustered  # noqa: E402
 
 try:
     from annoy import AnnoyIndex
@@ -44,16 +45,12 @@ num_queries, k_neighbours = args.n_queries, args.k_neighbours
 print("Loading and shuffling...")
 if match := re.match(r"(random|clustered)-(\d+)-(\d+)", args.filename):
     kind, size, dim = match.group(1), int(match.group(2)), int(match.group(3))
-    rng = np.random.default_rng(10)
     if kind == "random":
-        data = rng.standard_normal((size + num_queries, dim),
-                                   dtype=np.float32)
-    else:  # same generator as examples/bench.py
-        n_comp = int((size + num_queries) ** 0.5)
-        centers = rng.standard_normal((n_comp, dim), dtype=np.float32)
-        which = rng.integers(0, n_comp, size + num_queries)
-        data = centers[which] + 0.5 * rng.standard_normal(
+        data = np.random.default_rng(10).standard_normal(
             (size + num_queries, dim), dtype=np.float32)
+    else:  # ONE source of truth for the clustered recipe
+        data = np.concatenate(
+            make_clustered(size, dim, num_queries))
 else:
     data = np.load(args.filename).astype(np.float32)
     np.random.seed(10)

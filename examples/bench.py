@@ -81,12 +81,11 @@ elif match := re.match(r"clustered-(\w+)-(\d+)", args.filename):
     sizes = {"xs": 10**5, "s": 3 * 10**5, "m": 10**6}
     size = sizes.get(match.group(1), None) or int(match.group(1))
     dim = int(match.group(2))
-    rng = np.random.default_rng(10)
-    n_comp = int((size + num_queries) ** 0.5)
-    centers = rng.standard_normal((n_comp, dim), dtype=np.float32) * 1.0
-    which = rng.integers(0, n_comp, size + num_queries)
-    data = centers[which] + 0.5 * rng.standard_normal(
-        (size + num_queries, dim), dtype=np.float32)
+    # one source of truth for the recipe: the driver bench gates
+    # recall against truth archives computed on THIS data, so the
+    # generator must not drift between consumers
+    d_q = utils.make_clustered(size, dim, num_queries)
+    data = np.concatenate(d_q)
 else:
     data = np.load(args.filename).astype(np.float32)
     np.random.seed(10)

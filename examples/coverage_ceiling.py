@@ -32,6 +32,9 @@ import sys
 
 import numpy as np
 
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+from tinyknn_tpu import utils  # noqa: E402
+
 parser = argparse.ArgumentParser()
 parser.add_argument("--index", default="ivf_clustered-1183514-100_"
                     "angular_num_clusters=1087_dims_per_block=2_"
@@ -63,15 +66,12 @@ if args.data is not None:
     queries = raw[-nq:]
 elif m:
     kind, size, dim = m.group(1), int(m.group(2)), int(m.group(3))
-    rng = np.random.default_rng(10)
     if kind == "clustered":
-        n_comp = int((size + nq) ** 0.5)
-        cents = rng.standard_normal((n_comp, dim), dtype=np.float32)
-        which = rng.integers(0, n_comp, size + nq)
-        raw = cents[which] + 0.5 * rng.standard_normal(
-            (size + nq, dim), dtype=np.float32)
+        d_q = utils.make_clustered(size, dim, nq)
+        raw = np.concatenate(d_q)
     else:
-        raw = rng.standard_normal((size + nq, dim), dtype=np.float32)
+        raw = np.random.default_rng(10).standard_normal(
+            (size + nq, dim), dtype=np.float32)
     queries = raw[-nq:]
     del raw
 else:

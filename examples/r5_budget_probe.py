@@ -19,17 +19,9 @@ from tinyknn_tpu.io import load_ivf
 utils.enable_compilation_cache()
 
 size, dim, nq, k = 1000000, 128, 10000, 10
-rng = np.random.default_rng(10)
-n_comp = int((size + nq) ** 0.5)
-cents = rng.standard_normal((n_comp, dim), dtype=np.float32)
-which = rng.integers(0, n_comp, size + nq)
-raw = cents[which] + 0.5 * rng.standard_normal(
-    (size + nq, dim), dtype=np.float32)
-queries = raw[-nq:]
-trus = np.load("trus_clustered-1000000-128_k_neighbours=10_"
-               "num_queries=10000_metric='euclidean'.npy")
+_, queries = utils.make_clustered(size, dim, nq)
+trus = np.load(utils.truth_cache_path(size, dim, k, nq, "euclidean"))
 true_sets = [set(t.tolist()) for t in trus]
-del raw
 
 import jax.numpy as jnp
 t0 = time.time()

@@ -12,22 +12,19 @@ Pure NumPy/BLAS (no device). For the GloVe-scale archives:
      bound) next to the id-recall ceiling of f32/f64 brute force over
      the union (what any engine's measured recall can reach).
 """
+import os
 import re
 import sys
 
 import numpy as np
 
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+from tinyknn_tpu.utils import make_clustered  # noqa: E402
+
 nq, k = 10000, 10
 size, dim = 1183514, 100
 
-rng = np.random.default_rng(10)
-n_comp = int((size + nq) ** 0.5)
-cents = rng.standard_normal((n_comp, dim), dtype=np.float32)
-which = rng.integers(0, n_comp, size + nq)
-raw = cents[which] + 0.5 * rng.standard_normal(
-    (size + nq, dim), dtype=np.float32)
-data_raw, queries = raw[:-nq], raw[-nq:]
-del raw
+data_raw, queries = make_clustered(size, dim, nq)
 
 trus = np.load("trus_clustered-1183514-100_k_neighbours=10_"
                "num_queries=10000_metric='angular'.npy")

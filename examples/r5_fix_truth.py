@@ -18,6 +18,9 @@ import sys
 
 import numpy as np
 
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+from tinyknn_tpu.utils import make_clustered  # noqa: E402
+
 # --- angular (GloVe-scale): from the analysis run's saved f64 truth
 src = "trus64_clustered-1183514-100_k10_nq10000_angular.npy"
 dst = ("trus_clustered-1183514-100_k_neighbours=10_num_queries=10000_"
@@ -32,14 +35,8 @@ else:
 
 # --- euclidean 1M x 128 (clustered-1000000-128)
 size, dim, nq, k = 1000000, 128, 10000, 10
-rng = np.random.default_rng(10)
-n_comp = int((size + nq) ** 0.5)
-cents = rng.standard_normal((n_comp, dim), dtype=np.float32)
-which = rng.integers(0, n_comp, size + nq)
-raw = cents[which] + 0.5 * rng.standard_normal(
-    (size + nq, dim), dtype=np.float32)
-data, queries = raw[:-nq].astype(np.float64), raw[-nq:].astype(np.float64)
-del raw
+data, queries = make_clustered(size, dim, nq)
+data, queries = data.astype(np.float64), queries.astype(np.float64)
 
 dn2 = (data ** 2).sum(1)
 tru = np.empty((nq, k), dtype=np.int64)

@@ -33,14 +33,7 @@ trus_file = (f"trus_clustered-{size}-{dim}_k_neighbours={k}"
 trus = np.load(trus_file)
 true_sets = [set(t.tolist()) for t in trus]
 
-rng = np.random.default_rng(10)
-n_comp = int((size + nq) ** 0.5)
-centers = rng.standard_normal((n_comp, dim), dtype=np.float32)
-which = rng.integers(0, n_comp, size + nq)
-data = centers[which] + 0.5 * rng.standard_normal(
-    (size + nq, dim), dtype=np.float32)
-queries = data[-nq:]
-del data
+_, queries = utils.make_clustered(size, dim, nq)
 
 # wait for the chip before the big load (worker re-attach cost lands on
 # the first substantial device op of a new process)
@@ -55,13 +48,9 @@ print(f"chip probe ok in {time.time()-t0:.1f}s", flush=True)
 # truth agreed only 0.9809 — the bf16-truncation artifact)
 if os.path.isfile("trus64_clustered-1183514-100_k10_nq10000_angular.npy"):
     from tinyknn_tpu import knn_brute
-    rng2 = np.random.default_rng(10)
-    cents2 = rng2.standard_normal((n_comp, dim), dtype=np.float32)
-    which2 = rng2.integers(0, n_comp, size + nq)
-    full = cents2[which2] + 0.5 * rng2.standard_normal(
-        (size + nq, dim), dtype=np.float32)
+    full, _ = utils.make_clustered(size, dim, nq)
     t0 = time.time()
-    sub = np.asarray(knn_brute(queries[:2000], full[:-nq], k,
+    sub = np.asarray(knn_brute(queries[:2000], full, k,
                                metric="angular"))
     t64 = np.load("trus64_clustered-1183514-100_k10_nq10000_angular.npy")
     agree = np.mean([len(set(a.tolist()) & set(b.tolist())) / k

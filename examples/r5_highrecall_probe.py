@@ -34,14 +34,7 @@ trus = np.load(f"trus_clustered-{size}-{dim}_k_neighbours={k}"
                f"_num_queries={nq}_metric='angular'.npy")
 true_sets = [set(t.tolist()) for t in trus]
 
-rng = np.random.default_rng(10)
-n_comp = int((size + nq) ** 0.5)
-centers = rng.standard_normal((n_comp, dim), dtype=np.float32)
-which = rng.integers(0, n_comp, size + nq)
-data = centers[which] + 0.5 * rng.standard_normal(
-    (size + nq, dim), dtype=np.float32)
-queries = data[-nq:]
-del data
+_, queries = utils.make_clustered(size, dim, nq)
 
 import jax.numpy as jnp
 t0 = time.time()

@@ -78,14 +78,7 @@ print("loading index...", flush=True)
 ivf = load_ivf(args.index)
 
 size, dim, nq = 1183514, 100, 10000
-rng = np.random.default_rng(10)
-n_comp = int((size + nq) ** 0.5)
-centers = rng.standard_normal((n_comp, dim), dtype=np.float32)
-which = rng.integers(0, n_comp, size + nq)
-data = centers[which] + 0.5 * rng.standard_normal(
-    (size + nq, dim), dtype=np.float32)
-queries = data[-nq:]
-del data
+_, queries = utils.make_clustered(size, dim, nq)
 
 true_sets = None
 if os.path.isfile(args.trus):
@@ -137,7 +130,17 @@ for enabled in (False, True) * args.ab_cycles:
                 t0 = time.time()
                 tick(r)
                 el[r] = min(el[r], time.time() - t0)
-        qps = (R2 - R1) * nq / max(el[R2] - el[R1], 1e-9)
+        # marginal rate, with bench.py's fallback: relay jitter can
+        # make el[R2] <= el[R1], and a near-zero positive margin would
+        # print an absurd QPS — fall back to the (constant-bearing,
+        # conservative) whole-call rate and say so
+        fell_back = el[R2] <= el[R1]
+        if fell_back:
+            qps = R2 * nq / el[R2]
+        else:
+            qps = (R2 - R1) * nq / (el[R2] - el[R1])
+        note = (" (whole-call fallback: margin lost to jitter)"
+                if fell_back else "")
         rec = ""
         if true_sets is not None:
             g = out[0]
@@ -145,4 +148,4 @@ for enabled in (False, True) * args.ab_cycles:
                         for i, row in enumerate(g))
             rec = f"  recall{k}@{k}={found / k / nq:.4f}"
         print(f"{tag} P={P:>2} pass_1={p1 or 4 * k * P:>4}: "
-              f"marginal QPS={qps:,.0f}{rec}", flush=True)
+              f"marginal QPS={qps:,.0f}{rec}{note}", flush=True)

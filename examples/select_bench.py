@@ -54,13 +54,7 @@ print("loading index...", flush=True)
 ivf = load_ivf(args.index)
 
 size, dim, nq = 1183514, 100, 10000
-rng = np.random.default_rng(10)
-n_comp = int((size + nq) ** 0.5)
-centers = rng.standard_normal((n_comp, dim), dtype=np.float32)
-which = rng.integers(0, n_comp, size + nq)
-data_np = centers[which] + 0.5 * rng.standard_normal(
-    (size + nq, dim), dtype=np.float32)
-queries = data_np[-nq:]
+_, queries = utils.make_clustered(size, dim, nq)
 
 k = args.k
 P = args.probes

@@ -54,14 +54,7 @@ if args.glove:
     ivf = load_ivf("ivf_clustered-1183514-100_angular_num_clusters="
                    "1087_dims_per_block=2_build_probes=1.npz")
     size, dim, nq = 1183514, 100, 10000
-    rng = np.random.default_rng(10)
-    n_comp = int((size + nq) ** 0.5)
-    centers = rng.standard_normal((n_comp, dim), dtype=np.float32)
-    which = rng.integers(0, n_comp, size + nq)
-    data = centers[which] + 0.5 * rng.standard_normal(
-        (size + nq, dim), dtype=np.float32)
-    queries, corpus = data[-nq:], data[:size]
-    del data
+    corpus, queries = utils.make_clustered(size, dim, nq)
 else:
     rng = np.random.default_rng(0)
     corpus = rng.standard_normal((20000, 64), dtype=np.float32)

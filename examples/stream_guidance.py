@@ -49,14 +49,7 @@ if args.scan_impl is not None:
     ivf.set_scan_impl(args.scan_impl)
 
 size, dim, nq = 1183514, 100, 10000
-rng = np.random.default_rng(10)
-n_comp = int((size + nq) ** 0.5)
-centers = rng.standard_normal((n_comp, dim), dtype=np.float32)
-which = rng.integers(0, n_comp, size + nq)
-data = centers[which] + 0.5 * rng.standard_normal(
-    (size + nq, dim), dtype=np.float32)
-queries = data[-nq:]
-del data, centers, which
+_, queries = utils.make_clustered(size, dim, nq)
 
 trus_file = ("trus_clustered-1183514-100_k_neighbours=10_"
              "num_queries=10000_metric='angular'.npy")

@@ -717,7 +717,11 @@ def test_stream_refresh_converges_under_budget_clamp():
     try:
         _, st1 = ivf.query_stream(qs, k=8, n_probes=3, with_stats=True)
         assert st1["dropped_probe_pairs"] > 0, st1
-        n_after_first = calls["n"]  # pre-pass + one refresh
+        # the floor was measured on THIS stream (first call at the
+        # shape), so the drop can only be the budget clamp: the refresh
+        # must NOT re-measure the same batches (just_measured skip)
+        n_after_first = calls["n"]
+        assert n_after_first == 1, calls
         _, st2 = ivf.query_stream(qs, k=8, n_probes=3, with_stats=True)
         assert st2["dropped_probe_pairs"] > 0, st2
         assert calls["n"] == n_after_first  # no further pre-pass calls

@@ -93,3 +93,36 @@ def test_invert_assignments_csr_matches_dense():
         a = np.sort(ids[lst][ids[lst] >= 0])
         b = np.sort(flat[offsets[lst]:offsets[lst + 1]])
         np.testing.assert_array_equal(a, b)
+
+
+def test_make_clustered_pins_the_recipe():
+    """The clustered-dataset generator is load-bearing: the driver
+    bench gates recall against truth archives computed on this data,
+    so the recipe (rng call order included) must never drift. This
+    pins it byte-for-byte against the historical inline form that
+    every round-1..5 consumer used."""
+    from tinyknn_tpu.utils import make_clustered, truth_cache_path
+
+    size, dim, nq = 5000, 24, 300
+    data, queries = make_clustered(size, dim, nq)
+    assert data.shape == (size, dim) and queries.shape == (nq, dim)
+    assert data.dtype == np.float32 and queries.dtype == np.float32
+
+    # the exact historical recipe (bench.py / examples/bench.py /
+    # r5_fix_truth.py pre-consolidation)
+    rng = np.random.default_rng(10)
+    n_comp = int((size + nq) ** 0.5)
+    centers = rng.standard_normal((n_comp, dim), dtype=np.float32)
+    which = rng.integers(0, n_comp, size + nq)
+    ref = centers[which] + 0.5 * rng.standard_normal(
+        (size + nq, dim), dtype=np.float32)
+    np.testing.assert_array_equal(data, ref[:-nq])
+    np.testing.assert_array_equal(queries, ref[-nq:])
+
+    # truth archive filename contract (what r5_fix_truth.py writes and
+    # bench.py loads)
+    assert truth_cache_path(1183514, 100, 10, 10000, "angular") == (
+        "trus_clustered-1183514-100_k_neighbours=10_num_queries=10000"
+        "_metric='angular'.npy")
+    assert truth_cache_path(10, 2, 1, 5, "euclidean", cache_dir="/tmp/"
+                            ).startswith("/tmp/trus_clustered-10-2")

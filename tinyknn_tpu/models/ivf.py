@@ -642,34 +642,36 @@ def _qc_caps(self, Q, n_probes, r, r_tail, qc, qc0, fold_mult,
 
 def _stream_adaptive_params(self, batches, k_arg, p_arg, p1_arg, params,
                             fold_mult, Q=None, n_active=None,
-                            n_probes_max=None, q_clamp=None):
+                            n_probes_max=None):
     """Adaptive stream bucket capacities (shared by the single-chip and
     sharded query_stream): measure the stream's peak per-cluster load
     once per (Q, n_probes) shape (cached floor), clamp the floor by the
     same scan-grid budget as the drop-retry caps, and re-derive the
     query parameters with the floors injected. Returns
-    ``(params, floors, cache_key)``; if the (free, piggybacked) drop
+    ``(params, floors, cache_key, measured_now)``; if the (free,
+    piggybacked) drop
     counter fires anyway the caller re-measures the floor on the
     dropping stream (_refresh_stream_floors — drift handling that
-    converges, unlike blind escalation).
+    converges, unlike blind escalation); ``measured_now`` in the return
+    tells that caller the floors were measured on THIS stream, so a
+    drop can only be the budget clamp (skip the redundant re-measure).
 
     ``Q``/``n_active``/``n_probes_max`` parameterize _query_params for
     the sharded view (local query count / local clusters / global probe
-    clamp); ``q_clamp`` bounds the floors by the per-device query count
-    (a cluster cannot receive more pairs than local queries in either
-    round). The peak load is measured GLOBALLY (probe selection is
-    replicated), which for a query-sharded mesh upper-bounds every
-    device's local load — conservative, never lossy."""
+    clamp); the floors are also clamped by ``Q`` (a cluster cannot
+    receive more pairs than local queries in either round). The peak
+    load is measured GLOBALLY (probe selection is replicated), which
+    for a query-sharded mesh upper-bounds every device's local load —
+    conservative, never lossy."""
     k, n_probes, pass_1, r, r_tail, qc, qc0 = params
     if Q is None:
         Q = batches.shape[1]
-    if q_clamp is None:
-        q_clamp = Q
     cache = getattr(self, "_stream_qc_floors", None)
     if cache is None:
         cache = self._stream_qc_floors = {}
     key = (Q, n_probes)
-    if key not in cache:
+    measured_now = key not in cache
+    if measured_now:
         m0, mt = jax.device_get(_stream_peak_loads(
             batches, self.active_centers, n_probes=n_probes,
             metric=self.metric))
@@ -680,7 +682,7 @@ def _stream_adaptive_params(self, batches, k_arg, p_arg, p1_arg, params,
         # query()'s can't-drop retry uses, via _qc_caps — one source
         # of truth), then re-derive: in exact mode the fold widths
         # adapt to the new capacity
-        qc_full, qc0_full = _qc_caps(self, q_clamp, 1, r, r_tail, qc,
+        qc_full, qc0_full = _qc_caps(self, Q, 1, r, r_tail, qc,
                                      qc0, fold_mult, n_active=n_active)
         f0 = min(floors[0], qc0_full)
         ft = min(floors[1], qc_full)
@@ -692,10 +694,11 @@ def _stream_adaptive_params(self, batches, k_arg, p_arg, p1_arg, params,
         # the scan runs at the clamped capacity (auditability of
         # scan_budget_bytes — advisor r5)
         floors = (f0, ft)
-    return params, floors, key
+    return params, floors, key, measured_now
 
 
-def _refresh_stream_floors(self, key, batches, n_probes):
+def _refresh_stream_floors(self, key, batches, n_probes,
+                           just_measured=False):
     """A stream dropped pairs despite adaptive capacities. Two causes:
 
     * query drift — the cached floor was measured on an earlier
@@ -721,6 +724,13 @@ def _refresh_stream_floors(self, key, batches, n_probes):
     fkey = (key, getattr(self, "scan_budget_bytes", 2 << 30))
     if fkey in final:
         return  # budget-clamped steady state: re-measuring can't help
+    if just_measured:
+        # the floor was measured on THIS stream in this very call, so
+        # a drop can only be the budget clamp — re-measuring the same
+        # batches would return the same floor; mark final immediately
+        # and save the extra pre-pass dispatch (~28.5 ms relay constant)
+        final.add(fkey)
+        return
     m0, mt = jax.device_get(_stream_peak_loads(
         batches, self.active_centers, n_probes=n_probes,
         metric=self.metric))
@@ -834,9 +844,9 @@ class _StreamMixin:
         adaptive = bool(adaptive_qc) and not self.queries_per_cluster
         k_arg, p_arg, p1_arg = k, n_probes, pass_1
         params = _query_params(self, Q, k, n_probes, pass_1)
-        floors, key = (0, 0), None
+        floors, key, fresh = (0, 0), None, False
         if adaptive:
-            params, floors, key = _stream_adaptive_params(
+            params, floors, key, fresh = _stream_adaptive_params(
                 self, batches, k_arg, p_arg, p1_arg, params, fold_mult)
         k, n_probes, pass_1, r, r_tail, qc, qc0 = params
         scan_impl = self.scan_impl
@@ -870,7 +880,8 @@ class _StreamMixin:
         # anyway): the drop check is free per clean call, like query()'s
         out, dropped = jax.device_get((out, dropped))
         if adaptive and int(dropped):
-            _refresh_stream_floors(self, key, batches, n_probes)
+            _refresh_stream_floors(self, key, batches, n_probes,
+                                   just_measured=fresh)
         out = _map_labels(self.labels, out)
         if with_stats:
             return out, {

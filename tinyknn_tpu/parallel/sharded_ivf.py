@@ -335,12 +335,12 @@ def _sharded_stream_method(self, batches, k, n_probes=1, pass_1=None,
     params = _query_params(self, q_local, k, n_probes, pass_1,
                            n_active=c_local,
                            n_probes_max=self._n_active_real)
-    floors, key = (0, 0), None
+    floors, key, fresh = (0, 0), None, False
     if adaptive:
-        params, floors, key = _stream_adaptive_params(
+        params, floors, key, fresh = _stream_adaptive_params(
             self, batches, k_arg, p_arg, p1_arg, params, fold_mult,
             Q=q_local, n_active=c_local,
-            n_probes_max=self._n_active_real, q_clamp=q_local)
+            n_probes_max=self._n_active_real)
     k, n_probes, pass_1, r, r_tail, qc, qc0 = params
     scan_impl = self.scan_impl
     if scan_impl == "auto":
@@ -376,7 +376,7 @@ def _sharded_stream_method(self, batches, k, n_probes=1, pass_1=None,
         # peak re-measured globally (selection is replicated), the
         # same upper bound the pre-pass uses for every shard
         _refresh_stream_floors(self, key, jnp.asarray(batches),
-                               n_probes)
+                               n_probes, just_measured=fresh)
     from ..models.ivf import _map_labels
     out = _map_labels(self.labels, out)
     if with_stats:

@@ -14,6 +14,7 @@ from .grouping import (
     invert_assignments_csr,
 )
 from .timing import block, enable_compilation_cache, profile_trace, timer
+from .datasets import make_clustered, truth_cache_path
 
 __all__ = [
     "pad1", "pad2", "round_up",
